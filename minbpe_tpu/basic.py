@@ -1,0 +1,36 @@
+"""BasicTokenizer: byte-level BPE over the raw UTF-8 stream, no splitting,
+no special tokens. Behavior-compatible with the reference BasicTokenizer
+(minbpe/basic.py:15-74); compute runs as compiled XLA programs on device.
+"""
+
+from __future__ import annotations
+
+from . import engine
+from .base import Tokenizer
+
+
+class BasicTokenizer(Tokenizer):
+
+    def __init__(self):
+        super().__init__()
+
+    def train(self, text: str, vocab_size: int, verbose: bool = False):
+        """Learn vocab_size-256 merges from the whole text as one stream
+        (minbpe/basic.py:20-49)."""
+        assert vocab_size >= 256
+        num_merges = vocab_size - 256
+        self.merges, self.vocab = engine.train_bytes(
+            text.encode("utf-8"), num_merges, verbose
+        )
+        self._invalidate_device_state()
+
+    def encode(self, text: str) -> list[int]:
+        """Greedy lowest-rank-first merging of the whole byte stream
+        (minbpe/basic.py:57-74)."""
+        return engine.encode_bytes(self, text.encode("utf-8"))
+
+    def decode(self, ids) -> str:
+        """Concatenate vocab bytes; invalid UTF-8 becomes U+FFFD
+        (minbpe/basic.py:51-55)."""
+        data = b"".join(self.vocab[idx] for idx in ids)
+        return data.decode("utf-8", errors="replace")

@@ -1,0 +1,108 @@
+"""Host<->device glue: packs text into streams, runs the jitted train/encode
+programs, and converts results back into the dict-of-merges API surface.
+
+This is the seam between the reference-compatible host API (base.py subclasses)
+and the TPU compute paths (minbpe_tpu.ops). All device round-trips happen here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .ops import stream as stream_ops
+from .ops.train import train_merges
+from .ops.encode import build_rank_table, encode_stream
+
+
+class DeviceMergeTable:
+    """Frozen merge table resident on device, cached per tokenizer."""
+
+    def __init__(self, pairs: np.ndarray, new_ids: np.ndarray):
+        # Table dimension covers every id that can appear mid-encode.
+        self.vocab_size = 256 if len(new_ids) == 0 else max(256, int(new_ids.max()) + 1)
+        self.rank_table = jnp.asarray(build_rank_table(pairs, self.vocab_size))
+        if len(pairs):
+            self.merge_pairs = jnp.asarray(pairs)
+            self.merge_ids = jnp.asarray(new_ids)
+        else:
+            # Keep shapes non-empty so gathers in the jitted program are valid.
+            self.merge_pairs = jnp.zeros((1, 2), dtype=jnp.int32)
+            self.merge_ids = jnp.zeros((1,), dtype=jnp.int32)
+
+
+def device_table(tokenizer) -> DeviceMergeTable:
+    if tokenizer._dev is None:
+        pairs, new_ids = tokenizer._merge_arrays()
+        tokenizer._dev = DeviceMergeTable(pairs, new_ids)
+    return tokenizer._dev
+
+
+def run_train(ids, seg, n, num_merges: int, verbose: bool = False):
+    """Run the compiled training loop; return the merges dict + vocab dict.
+
+    Replicates reference bookkeeping (minbpe/basic.py:29-45): new ids are
+    256+round, vocab entries are concatenations of the children's bytes, and
+    verbose prints one line per round in the reference's format.
+    """
+    pairs, counts, fail_round = train_merges(
+        jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(n), num_merges
+    )
+    pairs = np.asarray(pairs)
+    counts = np.asarray(counts)
+    fail_round = int(fail_round)
+    if fail_round < num_merges:
+        raise ValueError(
+            f"no mergeable pair available at merge round {fail_round} "
+            f"(requested {num_merges} merges); corpus is too small"
+        )
+
+    merges: dict[tuple[int, int], int] = {}
+    vocab = {idx: bytes([idx]) for idx in range(256)}
+    for i in range(num_merges):
+        pair = (int(pairs[i, 0]), int(pairs[i, 1]))
+        idx = 256 + i
+        merges[pair] = idx
+        vocab[idx] = vocab[pair[0]] + vocab[pair[1]]
+        if verbose:
+            print(
+                f"merge {i+1}/{num_merges}: {pair} -> {idx} ({vocab[idx]}) "
+                f"had {int(counts[i])} occurrences"
+            )
+    return merges, vocab
+
+
+def encode_packed(tokenizer, ids, seg, n) -> list[int]:
+    """Encode a packed stream with the tokenizer's frozen merge table."""
+    dev = device_table(tokenizer)
+    out_ids, out_n = encode_stream(
+        jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(n),
+        dev.rank_table, dev.merge_pairs, dev.merge_ids,
+    )
+    return stream_ops.unpack_ids(np.asarray(out_ids), int(out_n))
+
+
+def encode_bytes(tokenizer, data: bytes) -> list[int]:
+    """Encode raw bytes as a single segment (BasicTokenizer path)."""
+    if len(data) == 0:
+        return []
+    ids, seg, n = stream_ops.pack_bytes(data)
+    return encode_packed(tokenizer, ids, seg, n)
+
+
+def encode_chunks(tokenizer, chunks: list[bytes]) -> list[int]:
+    """Encode pre-split chunks as an isolated-segment stream (Regex path)."""
+    if not chunks:
+        return []
+    ids, seg, n = stream_ops.pack_chunks(chunks)
+    return encode_packed(tokenizer, ids, seg, n)
+
+
+def train_bytes(data: bytes, num_merges: int, verbose: bool = False):
+    ids, seg, n = stream_ops.pack_bytes(data)
+    return run_train(ids, seg, n, num_merges, verbose)
+
+
+def train_chunks(chunks: list[bytes], num_merges: int, verbose: bool = False):
+    ids, seg, n = stream_ops.pack_chunks(chunks)
+    return run_train(ids, seg, n, num_merges, verbose)

@@ -1,0 +1,81 @@
+"""Jitted BPE encoding over a packed token stream.
+
+The reference encode loop (minbpe/basic.py:61-73, minbpe/regex.py:96-108)
+repeatedly finds the adjacent pair with the *lowest merge rank* present and
+merges all its occurrences (left-first on overlaps) until no pair is mergeable.
+
+Key equivalence used here (and verified by the conformance tests): because merge
+tables are well-founded — a merge's children always have lower rank than the
+merge itself (training assigns ids 256+round from already-existing ids,
+minbpe/basic.py:37; GPT-4 recovery caps children at ``max_rank``,
+minbpe/gpt4.py:22) — merging can only ever *create* pairs of higher rank than
+the rank just applied. Hence the sequence of ranks the reference applies is
+strictly increasing, and "repeatedly apply the minimum present rank to all its
+occurrences" is exactly the reference algorithm. That is what the
+``lax.while_loop`` below does; iteration count = number of *distinct* ranks
+actually applied, not the vocab size.
+
+Rank lookup uses a dense [V, V] -> rank table (fine to vocab ~8K; a hashed path
+for 100K-vocab tables lives in ops/ranktab.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .select import pair_validity
+from .merge import apply_merge
+
+RANK_INF = jnp.int32(2**31 - 1)
+
+
+def build_rank_table(pairs: np.ndarray, vocab_size: int) -> np.ndarray:
+    """Dense (a, b) -> rank-index table. pairs: int32[M, 2] in rank order."""
+    table = np.full((vocab_size, vocab_size), np.int32(2**31 - 1), dtype=np.int32)
+    if len(pairs):
+        table[pairs[:, 0], pairs[:, 1]] = np.arange(len(pairs), dtype=np.int32)
+    return table
+
+
+@jax.jit
+def encode_stream(ids, seg, n, rank_table, merge_pairs, merge_ids):
+    """Encode a packed stream against a frozen merge table.
+
+    rank_table: int32[V, V] -> rank index (RANK_INF when absent)
+    merge_pairs: int32[M, 2] pair per rank index (rank order)
+    merge_ids:   int32[M] new token id per rank index (256+r for trained
+                 tokenizers; the tiktoken id itself for GPT-4 tables)
+    """
+    V = rank_table.shape[0]
+
+    def pair_ranks(ids, seg, n):
+        valid, nxt_ids = pair_validity(ids, seg, n)
+        ia = jnp.clip(ids, 0, V - 1)
+        ib = jnp.clip(nxt_ids, 0, V - 1)
+        return jnp.where(valid, rank_table[ia, ib], RANK_INF)
+
+    def cond(state):
+        _, _, _, done = state
+        return ~done
+
+    def body(state):
+        ids, seg, n, _ = state
+        r = jnp.min(pair_ranks(ids, seg, n))
+
+        def apply(_):
+            rr = jnp.minimum(r, merge_ids.shape[0] - 1)  # safe gather index
+            pa = merge_pairs[rr, 0]
+            pb = merge_pairs[rr, 1]
+            new_ids, new_seg, new_n, _ = apply_merge(ids, seg, n, pa, pb, merge_ids[rr])
+            return new_ids, new_seg, new_n, jnp.bool_(False)
+
+        def stop(_):
+            return ids, seg, n, jnp.bool_(True)
+
+        return jax.lax.cond(r == RANK_INF, stop, apply, None)
+
+    state = (ids, seg, n, jnp.bool_(n < 2))
+    ids, seg, n, _ = jax.lax.while_loop(cond, body, state)
+    return ids, n

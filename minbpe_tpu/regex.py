@@ -1,0 +1,112 @@
+"""RegexTokenizer: BPE with regex pre-splitting and special-token handling.
+
+Behavior-compatible with the reference RegexTokenizer (minbpe/regex.py:22-164):
+text is pre-split into chunks by a GPT-style pattern, merges never cross chunk
+boundaries, and ``encode`` understands ``allowed_special``. On device the
+chunked text is one flat stream with per-chunk segment ids; training and encode
+run as single compiled programs (see minbpe_tpu.ops).
+
+The pre-split itself currently runs host-side via the ``regex`` module (the
+exactness oracle for the GPT-4 pattern's possessive quantifiers and lookahead);
+a byte-class scanner equivalent lives in minbpe_tpu.utils.presplit.
+"""
+
+from __future__ import annotations
+
+import regex as re
+
+from . import engine
+from .base import Tokenizer
+
+# GPT split patterns, as published by tiktoken (minbpe/regex.py:18-19).
+GPT2_SPLIT_PATTERN = (
+    r"""'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
+)
+GPT4_SPLIT_PATTERN = (
+    r"""'(?i:[sdmt]|ll|ve|re)|[^\r\n\p{L}\p{N}]?+\p{L}+|\p{N}{1,3}|"""
+    r""" ?[^\s\p{L}\p{N}]++[\r\n]*|\s*[\r\n]|\s+(?!\S)|\s+"""
+)
+
+
+class RegexTokenizer(Tokenizer):
+
+    def __init__(self, pattern: str | None = None):
+        """pattern overrides the default GPT-4 split pattern
+        (minbpe/regex.py:24-34)."""
+        super().__init__()
+        self.pattern = GPT4_SPLIT_PATTERN if pattern is None else pattern
+        self.compiled_pattern = re.compile(self.pattern)
+        self.special_tokens: dict[str, int] = {}
+        self.inverse_special_tokens: dict[int, str] = {}
+
+    # -- helpers ------------------------------------------------------------
+    def _split_chunks(self, text: str) -> list[bytes]:
+        return [c.encode("utf-8") for c in re.findall(self.compiled_pattern, text)]
+
+    # -- training -----------------------------------------------------------
+    def train(self, text: str, vocab_size: int, verbose: bool = False):
+        """Pair counts are summed across chunks each round (minbpe/regex.py:36-70);
+        on device the chunks are one segmented stream in corpus order, so the
+        count/tie-break semantics match exactly."""
+        assert vocab_size >= 256
+        num_merges = vocab_size - 256
+        self.merges, self.vocab = engine.train_chunks(
+            self._split_chunks(text), num_merges, verbose
+        )
+        self._invalidate_device_state()
+
+    # -- special tokens -----------------------------------------------------
+    def register_special_tokens(self, special_tokens: dict[str, int]):
+        """str -> int registry (minbpe/regex.py:72-76)."""
+        self.special_tokens = special_tokens
+        self.inverse_special_tokens = {v: k for k, v in special_tokens.items()}
+
+    # -- decode -------------------------------------------------------------
+    def decode(self, ids) -> str:
+        """vocab or special lookup per id; unknown ids raise
+        (minbpe/regex.py:78-90)."""
+        parts = []
+        for idx in ids:
+            if idx in self.vocab:
+                parts.append(self.vocab[idx])
+            elif idx in self.inverse_special_tokens:
+                parts.append(self.inverse_special_tokens[idx].encode("utf-8"))
+            else:
+                raise ValueError(f"invalid token id: {idx}")
+        return b"".join(parts).decode("utf-8", errors="replace")
+
+    # -- encode -------------------------------------------------------------
+    def encode_ordinary(self, text: str) -> list[int]:
+        """Encode ignoring special tokens (minbpe/regex.py:111-121). The whole
+        chunked text goes to device as one segmented stream."""
+        return engine.encode_chunks(self, self._split_chunks(text))
+
+    def encode(self, text: str, allowed_special="none_raise") -> list[int]:
+        """Special-token-aware encode; allowed_special semantics per
+        minbpe/regex.py:123-164 ("all" | "none" | "none_raise" | set)."""
+        special = None
+        if allowed_special == "all":
+            special = self.special_tokens
+        elif allowed_special == "none":
+            special = {}
+        elif allowed_special == "none_raise":
+            special = {}
+            assert all(token not in text for token in self.special_tokens)
+        elif isinstance(allowed_special, set):
+            special = {
+                k: v for k, v in self.special_tokens.items() if k in allowed_special
+            }
+        else:
+            raise ValueError(f"allowed_special={allowed_special} not understood")
+        if not special:
+            return self.encode_ordinary(text)
+        # Exact-match split on the registered specials (capturing group keeps
+        # the specials as their own parts), then encode the pieces.
+        special_pattern = "(" + "|".join(re.escape(k) for k in special) + ")"
+        ids: list[int] = []
+        for part in re.split(special_pattern, text):
+            if part in special:
+                ids.append(special[part])
+            else:
+                ids.extend(self.encode_ordinary(part))
+        return ids

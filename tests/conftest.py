@@ -1,0 +1,42 @@
+"""Test harness config.
+
+Tests run on the CPU backend with 8 virtual devices so the multi-chip sharding
+path is exercised without TPU hardware (the strategy the reference lacks — see
+SURVEY.md §4). Env must be set before jax initializes its backends.
+
+This environment also ships a sitecustomize that registers a remote-TPU PJRT
+plugin ("axon") in every process; its tunnel can stall arbitrary jax calls, so
+we both force JAX_PLATFORMS=cpu and drop the plugin's backend factory.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+try:  # keep the remote-TPU plugin from ever initializing inside tests
+    import jax._src.xla_bridge as _xb
+
+    for _name in list(getattr(_xb, "_backend_factories", {})):
+        if _name not in ("cpu",):
+            _xb._backend_factories.pop(_name, None)
+except Exception:
+    pass
+
+import pathlib
+
+import pytest
+
+REFERENCE_DIR = pathlib.Path("/root/reference")
+CORPUS = REFERENCE_DIR / "tests" / "taylorswift.txt"
+
+
+@pytest.fixture(scope="session")
+def corpus_text() -> str:
+    if not CORPUS.exists():
+        pytest.skip("reference corpus not available")
+    return CORPUS.read_text(encoding="utf-8")
