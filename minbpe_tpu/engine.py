@@ -12,7 +12,13 @@ import jax.numpy as jnp
 
 from .ops import stream as stream_ops
 from .ops.train import train_merges
-from .ops.encode import build_rank_table, encode_stream
+from .ops.encode import build_rank_table, encode_stream, encode_stream_sorted
+from .ops.ranktab import SortedPairTable
+from .ops import chunk_encode
+
+# Above this vocab size the dense [V, V] rank table gives way to the sorted
+# pair table + bucketed chunk encoder (cl100k is ~100K: dense would be 40 GB).
+DENSE_VOCAB_MAX = 4096
 
 
 class DeviceMergeTable:
@@ -21,7 +27,10 @@ class DeviceMergeTable:
     def __init__(self, pairs: np.ndarray, new_ids: np.ndarray):
         # Table dimension covers every id that can appear mid-encode.
         self.vocab_size = 256 if len(new_ids) == 0 else max(256, int(new_ids.max()) + 1)
-        self.rank_table = jnp.asarray(build_rank_table(pairs, self.vocab_size))
+        self.kind = "dense" if self.vocab_size <= DENSE_VOCAB_MAX else "sorted"
+        self.sorted_table = SortedPairTable(pairs, new_ids)
+        if self.kind == "dense":
+            self.rank_table = jnp.asarray(build_rank_table(pairs, self.vocab_size))
         if len(pairs):
             self.merge_pairs = jnp.asarray(pairs)
             self.merge_ids = jnp.asarray(new_ids)
@@ -75,10 +84,17 @@ def run_train(ids, seg, n, num_merges: int, verbose: bool = False):
 def encode_packed(tokenizer, ids, seg, n) -> list[int]:
     """Encode a packed stream with the tokenizer's frozen merge table."""
     dev = device_table(tokenizer)
-    out_ids, out_n = encode_stream(
-        jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(n),
-        dev.rank_table, dev.merge_pairs, dev.merge_ids,
-    )
+    if dev.kind == "dense":
+        out_ids, out_n = encode_stream(
+            jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(n),
+            dev.rank_table, dev.merge_pairs, dev.merge_ids,
+        )
+    else:
+        t = dev.sorted_table
+        out_ids, out_n = encode_stream_sorted(
+            jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(n),
+            t.ka, t.kb, t.rank, t.merge_pairs, t.merge_ids, t.depth,
+        )
     return stream_ops.unpack_ids(np.asarray(out_ids), int(out_n))
 
 
@@ -91,9 +107,13 @@ def encode_bytes(tokenizer, data: bytes) -> list[int]:
 
 
 def encode_chunks(tokenizer, chunks: list[bytes]) -> list[int]:
-    """Encode pre-split chunks as an isolated-segment stream (Regex path)."""
+    """Encode pre-split chunks (Regex path). Small vocab goes through the
+    segmented-stream encoder; large vocab through the bucketed chunk encoder."""
     if not chunks:
         return []
+    dev = device_table(tokenizer)
+    if dev.kind == "sorted":
+        return chunk_encode.encode_chunk_list(chunks, dev.sorted_table)
     ids, seg, n = stream_ops.pack_chunks(chunks)
     return encode_packed(tokenizer, ids, seg, n)
 

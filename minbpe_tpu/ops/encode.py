@@ -21,6 +21,8 @@ for 100K-vocab tables lives in ops/ranktab.py).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -75,6 +77,53 @@ def encode_stream(ids, seg, n, rank_table, merge_pairs, merge_ids):
             return ids, seg, n, jnp.bool_(True)
 
         return jax.lax.cond(r == RANK_INF, stop, apply, None)
+
+    state = (ids, seg, n, jnp.bool_(n < 2))
+    ids, seg, n, _ = jax.lax.while_loop(cond, body, state)
+    return ids, n
+
+
+@partial(jax.jit, static_argnames=("depth",))
+def encode_stream_sorted(ids, seg, n, ka, kb, rank, merge_pairs, merge_ids,
+                         depth: int):
+    """encode_stream for large-vocab tables: rank lookup via the sorted-pair
+    binary search (ops/ranktab.py) instead of a dense [V, V] gather. Same
+    min-present-rank iteration, same exactness argument."""
+    M = ka.shape[0]
+    RINF = jnp.int32(2**31 - 1)
+
+    def lookup(a, b, valid):
+        lo = jnp.zeros_like(a)
+        hi = jnp.full_like(a, M - 1)
+        for _ in range(depth + 1):
+            mid = (lo + hi) >> 1
+            ma = ka[mid]
+            mb = kb[mid]
+            less = (ma < a) | ((ma == a) & (mb < b))
+            lo = jnp.where(less, jnp.minimum(mid + 1, M - 1), lo)
+            hi = jnp.where(less, hi, mid)
+        hit = (ka[lo] == a) & (kb[lo] == b) & valid
+        return jnp.where(hit, rank[lo], RINF)
+
+    def cond(state):
+        return ~state[3]
+
+    def body(state):
+        ids, seg, n, _ = state
+        valid, nxt_ids = pair_validity(ids, seg, n)
+        r = jnp.min(lookup(ids, nxt_ids, valid))
+
+        def apply(_):
+            rr = jnp.minimum(r, M - 1)
+            new_ids, new_seg, new_n, _ = apply_merge(
+                ids, seg, n, merge_pairs[rr, 0], merge_pairs[rr, 1], merge_ids[rr]
+            )
+            return new_ids, new_seg, new_n, jnp.bool_(False)
+
+        def stop(_):
+            return ids, seg, n, jnp.bool_(True)
+
+        return jax.lax.cond(r == RINF, stop, apply, None)
 
     state = (ids, seg, n, jnp.bool_(n < 2))
     ids, seg, n, _ = jax.lax.while_loop(cond, body, state)

@@ -1,0 +1,188 @@
+"""Data-parallel distributed BPE training over a JAX device mesh.
+
+The reference is single-threaded CPython (SURVEY.md §2.3); this module is the
+TPU-native scaling design it lacks:
+
+- corpus chunks are sharded across a 1-D ``data`` mesh axis (chunks never
+  straddle shards, so the Regex-path invariant "merges never cross chunk
+  boundaries", minbpe/regex.py:44, also guarantees no cross-shard pairs);
+- the merge table is replicated (tiny);
+- per-round pair counts are combined with ``jax.lax.psum`` and the
+  first-occurrence tie-break positions with ``jax.lax.pmin`` — so selection is
+  bit-identical to the single-device sort-based path and to the reference;
+- merge application + compaction happen shard-locally.
+
+Selection here uses a dense [V, V] count/min-position matrix per shard (exact;
+out-of-bounds scatters drop invalid pairs). Dense is the right call up to
+vocab ~8K; the 100K-vocab sharded-keyspace design is documented in
+parallel/README.md and slated for the sparse path.
+
+Global first-occurrence positions are ``shard_index * shard_capacity +
+local_index`` — a strictly monotone relabeling of the concatenated corpus
+order, so relative order (all the tie-break needs) is preserved.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..ops.stream import PAD, PAD_SEG, bucket_capacity
+from ..ops.merge import apply_merge
+
+INT32_MAX = jnp.int32(2**31 - 1)
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), ("data",))
+
+
+def shard_chunks(chunks: list[bytes], n_shards: int):
+    """Pack chunks into n_shards contiguous, chunk-aligned shards.
+
+    Returns (ids[D*Nl], seg[D*Nl], lens[D]) where Nl is the per-shard
+    capacity. Chunks keep corpus order; shard boundaries fall between chunks.
+    """
+    total = sum(len(c) for c in chunks)
+    target = max(1, -(-total // n_shards))
+    shards: list[list[bytes]] = [[] for _ in range(n_shards)]
+    fill = 0
+    si = 0
+    for c in chunks:
+        if fill + len(c) > target and fill > 0 and si < n_shards - 1:
+            si += 1
+            fill = 0
+        shards[si].append(c)
+        fill += len(c)
+
+    lens = np.array([sum(len(c) for c in s) for s in shards], dtype=np.int32)
+    Nl = bucket_capacity(int(lens.max()) if len(chunks) else 1)
+    ids = np.full((n_shards, Nl), PAD, dtype=np.int32)
+    seg = np.full((n_shards, Nl), PAD_SEG, dtype=np.int32)
+    g = 0  # global chunk counter -> segment id
+    for d, s in enumerate(shards):
+        pos = 0
+        for c in s:
+            ids[d, pos:pos + len(c)] = np.frombuffer(c, dtype=np.uint8)
+            seg[d, pos:pos + len(c)] = g
+            pos += len(c)
+            g += 1
+    return ids.reshape(-1), seg.reshape(-1), lens
+
+
+def _local_pair_stats(ids, seg, n, gpos_base, V):
+    """Dense per-shard (count, min-global-position) matrices, OOB-dropped."""
+    Nl = ids.shape[0]
+    idx = jnp.arange(Nl, dtype=jnp.int32)
+    nxt_ids = jnp.roll(ids, -1)
+    nxt_seg = jnp.roll(seg, -1)
+    valid = (idx + 1 < n) & (seg == nxt_seg)
+    ia = jnp.where(valid, ids, V)  # V is out of bounds -> dropped
+    ib = jnp.where(valid, nxt_ids, V)
+    counts = jnp.zeros((V, V), jnp.int32).at[ia, ib].add(1, mode="drop")
+    minpos = jnp.full((V, V), INT32_MAX, jnp.int32).at[ia, ib].min(
+        gpos_base + idx, mode="drop"
+    )
+    return counts, minpos
+
+
+def build_distributed_train(mesh: Mesh, num_merges: int, vocab_size: int,
+                            shard_capacity: int):
+    """Returns a jitted fn: (ids[D*Nl], seg[D*Nl], lens[D]) ->
+    (pairs[M,2], counts[M], fail_round)."""
+    V = vocab_size
+    M = num_merges
+    Nl = shard_capacity
+
+    def shard_body(ids, seg, lens):
+        # local views: ids, seg: [Nl]; lens: [1]
+        n = lens[0]
+        d = jax.lax.axis_index("data")
+        gpos_base = d.astype(jnp.int32) * jnp.int32(Nl)
+
+        pairs0 = jnp.zeros((M, 2), jnp.int32)
+        counts0 = jnp.zeros((M,), jnp.int32)
+
+        def body(i, state):
+            ids, seg, n, pairs, counts, fail = state
+            lc, lp = _local_pair_stats(ids, seg, n, gpos_base, V)
+            gc = jax.lax.psum(lc, "data")
+            gp = jax.lax.pmin(lp, "data")
+            maxc = jnp.max(gc)
+            tied = gc == maxc
+            best_pos = jnp.min(jnp.where(tied, gp, INT32_MAX))
+            flat = jnp.argmax((tied & (gp == best_pos)).reshape(-1))
+            pa = (flat // V).astype(jnp.int32)
+            pb = (flat % V).astype(jnp.int32)
+            ok = (maxc > 0) & (fail >= i)
+
+            def do(_):
+                new_ids, new_seg, new_n, _ = apply_merge(
+                    ids, seg, n, pa, pb, jnp.int32(256) + i
+                )
+                return (new_ids, new_seg, new_n,
+                        pairs.at[i, 0].set(pa).at[i, 1].set(pb),
+                        counts.at[i].set(maxc), fail)
+
+            def skip(_):
+                return (ids, seg, n, pairs, counts,
+                        jnp.minimum(fail, jnp.where(maxc > 0, fail, i)))
+
+            return jax.lax.cond(ok, do, skip, None)
+
+        state = (ids, seg, n, pairs0, counts0, jnp.int32(M))
+        ids, seg, n, pairs, counts, fail = jax.lax.fori_loop(0, M, body, state)
+        return pairs[None], counts[None], fail[None]
+
+    mapped = shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data")),
+        out_specs=(P("data"), P("data"), P("data")),
+    )
+
+    def train(ids, seg, lens):
+        pairs, counts, fail = mapped(ids, seg, lens)
+        # every shard computed identical values; take shard 0's copy
+        return pairs[0], counts[0], jnp.max(fail)
+
+    return jax.jit(train)
+
+
+def train_chunks_distributed(chunks: list[bytes], num_merges: int,
+                             mesh: Mesh | None = None, verbose: bool = False):
+    """Host entry: shard chunks over the mesh and run distributed training.
+
+    Returns (merges dict, vocab dict) with reference-identical contents.
+    """
+    mesh = mesh if mesh is not None else make_mesh()
+    D = mesh.devices.size
+    ids, seg, lens = shard_chunks(chunks, D)
+    Nl = ids.shape[0] // D
+    V = 256 + num_merges
+    fn = build_distributed_train(mesh, num_merges, V, Nl)
+    pairs, counts, fail = fn(jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(lens))
+    pairs = np.asarray(pairs)
+    counts = np.asarray(counts)
+    if int(fail) < num_merges:
+        raise ValueError(
+            f"no mergeable pair available at merge round {int(fail)}"
+        )
+    merges: dict[tuple[int, int], int] = {}
+    vocab = {i: bytes([i]) for i in range(256)}
+    for i in range(num_merges):
+        pair = (int(pairs[i, 0]), int(pairs[i, 1]))
+        idx = 256 + i
+        merges[pair] = idx
+        vocab[idx] = vocab[pair[0]] + vocab[pair[1]]
+        if verbose:
+            print(f"merge {i+1}/{num_merges}: {pair} -> {idx} "
+                  f"({vocab[idx]}) had {int(counts[i])} occurrences")
+    return merges, vocab

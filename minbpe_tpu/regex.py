@@ -43,6 +43,11 @@ class RegexTokenizer(Tokenizer):
     def _split_chunks(self, text: str) -> list[bytes]:
         return [c.encode("utf-8") for c in re.findall(self.compiled_pattern, text)]
 
+    def _transform_chunk_bytes(self, chunk: bytes) -> bytes:
+        """Hook for byte-level preprocessing of each chunk before BPE
+        (identity here; GPT4Tokenizer installs its byte shuffle)."""
+        return chunk
+
     # -- training -----------------------------------------------------------
     def train(self, text: str, vocab_size: int, verbose: bool = False):
         """Pair counts are summed across chunks each round (minbpe/regex.py:36-70);
@@ -79,7 +84,8 @@ class RegexTokenizer(Tokenizer):
     def encode_ordinary(self, text: str) -> list[int]:
         """Encode ignoring special tokens (minbpe/regex.py:111-121). The whole
         chunked text goes to device as one segmented stream."""
-        return engine.encode_chunks(self, self._split_chunks(text))
+        chunks = [self._transform_chunk_bytes(c) for c in self._split_chunks(text)]
+        return engine.encode_chunks(self, chunks)
 
     def encode(self, text: str, allowed_special="none_raise") -> list[int]:
         """Special-token-aware encode; allowed_special semantics per

@@ -1,0 +1,59 @@
+"""Distributed training parity: 8 virtual CPU devices vs single-device vs
+oracle. The mesh/psum path must be bit-identical to the reference semantics."""
+
+import random
+
+import pytest
+
+import oracle
+from minbpe_tpu.parallel.train import (
+    make_mesh, train_chunks_distributed, shard_chunks,
+)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_distributed_matches_oracle(seed):
+    rng = random.Random(seed)
+    chunks = [
+        bytes(rng.randint(97, 104) for _ in range(rng.randint(1, 24)))
+        for _ in range(rng.randint(2, 40))
+    ]
+    num_merges = rng.randint(1, 10)
+    try:
+        expected = oracle.train(chunks, num_merges)
+    except ValueError:
+        expected = None
+
+    mesh = make_mesh(8)
+    if expected is None:
+        with pytest.raises(ValueError):
+            train_chunks_distributed(chunks, num_merges, mesh)
+        return
+    merges, _ = train_chunks_distributed(chunks, num_merges, mesh)
+    assert merges == {pair: nid for pair, nid in expected}
+
+
+def test_distributed_matches_single_device_on_text():
+    from minbpe_tpu import RegexTokenizer
+
+    text = ("Distributed byte pair encoding must agree exactly with the "
+            "single device path, ties and all. " * 30)
+    single = RegexTokenizer()
+    single.train(text, 256 + 48)
+
+    chunks = single._split_chunks(text)
+    merges, _ = train_chunks_distributed(chunks, 48, make_mesh(8))
+    assert merges == single.merges
+
+
+def test_shard_chunks_layout():
+    chunks = [b"abc", b"de", b"f", b"ghij", b"kl"]
+    ids, seg, lens = shard_chunks(chunks, 4)
+    assert int(lens.sum()) == sum(len(c) for c in chunks)
+    # chunk-aligned: every chunk's bytes are contiguous in one shard
+    Nl = ids.shape[0] // 4
+    flat = []
+    for d in range(4):
+        row = ids[d * Nl:(d + 1) * Nl]
+        flat.extend(int(x) for x in row if x >= 0)
+    assert bytes(flat) == b"".join(chunks)
