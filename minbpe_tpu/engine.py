@@ -47,15 +47,29 @@ def device_table(tokenizer) -> DeviceMergeTable:
     return tokenizer._dev
 
 
-def run_train(ids, seg, n, num_merges: int, verbose: bool = False):
+def run_train(ids, seg, n, num_merges: int, verbose: bool = False,
+              select_mode: str = "auto"):
     """Run the compiled training loop; return the merges dict + vocab dict.
 
     Replicates reference bookkeeping (minbpe/basic.py:29-45): new ids are
     256+round, vocab entries are concatenations of the children's bytes, and
     verbose prints one line per round in the reference's format.
+
+    select_mode "auto" picks the dense MXU counting path for small vocabs and
+    the sort-based path otherwise (both exact).
     """
+    from .ops.train import DENSE_SELECT_MAX
+
+    if select_mode == "auto":
+        import jax
+
+        on_mxu = jax.default_backend() == "tpu"
+        select_mode = (
+            "pallas" if (on_mxu and 256 + num_merges <= DENSE_SELECT_MAX) else "sort"
+        )
     pairs, counts, fail_round = train_merges(
-        jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(n), num_merges
+        jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(n), num_merges,
+        select_mode=select_mode,
     )
     pairs = np.asarray(pairs)
     counts = np.asarray(counts)
@@ -116,6 +130,22 @@ def encode_chunks(tokenizer, chunks: list[bytes]) -> list[int]:
         return chunk_encode.encode_chunk_list(chunks, dev.sorted_table)
     ids, seg, n = stream_ops.pack_chunks(chunks)
     return encode_packed(tokenizer, ids, seg, n)
+
+
+def encode_offsets(tokenizer, data, ends) -> list[int]:
+    """Encode a (byte array, chunk-end offsets) pair — the vectorized path."""
+    if data.shape[0] == 0:
+        return []
+    dev = device_table(tokenizer)
+    if dev.kind == "sorted":
+        return chunk_encode.encode_offsets(data, ends, dev.sorted_table)
+    ids, seg, n = stream_ops.pack_offsets(data, ends)
+    return encode_packed(tokenizer, ids, seg, n)
+
+
+def train_offsets(data, ends, num_merges: int, verbose: bool = False):
+    ids, seg, n = stream_ops.pack_offsets(data, ends)
+    return run_train(ids, seg, n, num_merges, verbose)
 
 
 def train_bytes(data: bytes, num_merges: int, verbose: bool = False):

@@ -185,6 +185,10 @@ class GPT4Tokenizer(RegexTokenizer):
         arr = np.frombuffer(chunk, dtype=np.uint8)
         return self.byte_shuffle[arr].tobytes()
 
+    def _transform_bytes_array(self, arr):
+        """Vectorized byte shuffle for the offsets-based encode path."""
+        return self.byte_shuffle[arr]
+
     def decode(self, ids) -> str:
         """Un-permute bytes after vocab concatenation (minbpe/gpt4.py:87-92)."""
         data = b"".join(self.vocab[idx] for idx in ids)

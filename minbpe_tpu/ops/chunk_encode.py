@@ -111,6 +111,68 @@ def _encode_block(ids, lens, ka, kb, rank, merge_pairs, merge_ids, depth: int):
     return ids, lens
 
 
+def encode_offsets(data: np.ndarray, ends: np.ndarray,
+                   table: SortedPairTable) -> list[int]:
+    """Encode from (byte array, chunk-end offsets) — vectorized bucketing.
+
+    Equivalent to encode_chunk_list but builds every bucket matrix with numpy
+    fancy indexing; no per-chunk Python objects.
+    """
+    if len(ends) == 0:
+        return []
+    data = np.ascontiguousarray(data)
+    starts = np.concatenate([[0], ends[:-1]]).astype(np.int64)
+    lengths = (ends - starts).astype(np.int64)
+    order_out: list[np.ndarray | None] = [None] * len(ends)
+
+    # bucket id per chunk: first bucket >= length (oversized -> -1)
+    barr = np.asarray(_BUCKETS, dtype=np.int64)
+    bidx = np.searchsorted(barr, lengths, side="left")
+    oversized = np.nonzero(bidx >= len(barr))[0]
+    for i in oversized.tolist():
+        from .encode import encode_stream_sorted
+        from .stream import pack_bytes
+        ids0, seg0, n0 = pack_bytes(
+            data[starts[i]:ends[i]].astype(np.uint8).tobytes()
+        )
+        out_ids, out_n = encode_stream_sorted(
+            jnp.asarray(ids0), jnp.asarray(seg0), jnp.asarray(n0),
+            table.ka, table.kb, table.rank,
+            table.merge_pairs, table.merge_ids, table.depth,
+        )
+        order_out[i] = np.asarray(out_ids)[:int(out_n)]
+
+    for b in np.unique(bidx[bidx < len(barr)]).tolist():
+        L = int(barr[b])
+        idxs = np.nonzero((bidx == b) & (lengths > 0))[0]
+        if len(idxs) == 0:
+            continue
+        C = _pad_rows(len(idxs))
+        gather = starts[idxs, None] + np.arange(L)[None, :]
+        mask = np.arange(L)[None, :] < lengths[idxs, None]
+        mat = np.full((C, L), PAD, dtype=np.int32)
+        mat[:len(idxs)] = np.where(
+            mask, data[np.minimum(gather, len(data) - 1)].astype(np.int32), PAD
+        )
+        lens = np.zeros((C,), dtype=np.int32)
+        lens[:len(idxs)] = lengths[idxs]
+        out_ids, out_lens = _encode_block(
+            jnp.asarray(mat), jnp.asarray(lens),
+            table.ka, table.kb, table.rank,
+            table.merge_pairs, table.merge_ids, table.depth,
+        )
+        out_ids = np.asarray(out_ids)
+        out_lens = np.asarray(out_lens)
+        for r, i in enumerate(idxs.tolist()):
+            order_out[i] = out_ids[r, :out_lens[r]]
+
+    out: list[int] = []
+    for arr in order_out:
+        if arr is not None and len(arr):
+            out.extend(arr.tolist())
+    return out
+
+
 def encode_chunk_list(chunks: list[bytes], table: SortedPairTable) -> list[int]:
     """Encode byte chunks against the merge table; returns concatenated ids
     in original chunk order."""

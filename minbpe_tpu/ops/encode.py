@@ -30,7 +30,7 @@ import numpy as np
 from .select import pair_validity
 from .merge import apply_merge
 
-RANK_INF = jnp.int32(2**31 - 1)
+RANK_INF = 2**31 - 1  # plain int: module import must not touch a backend
 
 
 def build_rank_table(pairs: np.ndarray, vocab_size: int) -> np.ndarray:

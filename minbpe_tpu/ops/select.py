@@ -22,7 +22,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-INT32_MAX = jnp.int32(2**31 - 1)
+# plain int (not a jnp scalar): importing this module must not initialize a
+# jax backend, and traced code coerces it to int32 on use
+INT32_MAX = 2**31 - 1
 
 
 def pair_validity(ids, seg, n):
@@ -73,3 +75,72 @@ def select_max_pair(ids, seg, n):
     best_pos = jnp.min(jnp.where(tied, spos, INT32_MAX))
     best_j = jnp.argmax(tied & (spos == best_pos))
     return sa[best_j], sb[best_j], maxc, maxc > 0
+
+
+def count_pairs_dense(ids, seg, n, V: int, block: int = 2048):
+    """Dense [V, V] pair-count matrix via one-hot matmuls on the MXU.
+
+    No scatter: the count matrix is C = sum_blocks A_blockᵀ @ B_block where
+    A/B are one-hot encodings of left/right pair elements. Products are 0/1
+    and row sums are bounded by the stream length, so f32 accumulation is
+    exact below 2^24 occurrences per pair.
+    """
+    N = ids.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    valid, nxt_ids = pair_validity(ids, seg, n)
+    # invalid slots -> id V-0? use 0 with weight 0 via masked one-hot rows
+    a = jnp.where(valid, ids, -1)
+    b = jnp.where(valid, nxt_ids, -1)
+    nblk = -(-N // block)
+    pad = nblk * block - N
+    a = jnp.pad(a, (0, pad), constant_values=-1).reshape(nblk, block)
+    b = jnp.pad(b, (0, pad), constant_values=-1).reshape(nblk, block)
+    vr = jnp.arange(V, dtype=jnp.int32)
+
+    def body(i, acc):
+        A = (a[i][:, None] == vr[None, :]).astype(jnp.bfloat16)
+        B = (b[i][:, None] == vr[None, :]).astype(jnp.bfloat16)
+        return acc + jax.lax.dot_general(
+            A, B, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    counts = jax.lax.fori_loop(
+        0, nblk, body, jnp.zeros((V, V), jnp.float32)
+    )
+    return counts.astype(jnp.int32)
+
+
+def select_from_counts(ids, seg, n, counts, V: int):
+    """Reference-exact argmax selection given a dense [V, V] count matrix.
+
+    The first-occurrence tie-break is resolved lazily: only when several pairs
+    share the max count does a single masked scan over the stream find the
+    earliest-occurring tied pair. (The sort path pays the tie-break cost every
+    round; here it is one cheap gather pass, and only on actual ties.)
+    """
+    maxc = jnp.max(counts)
+    tied = counts == maxc
+    # masked scan: position of the earliest occurrence of any tied pair
+    valid, nxt_ids = pair_validity(ids, seg, n)
+    ia = jnp.clip(ids, 0, V - 1)
+    ib = jnp.clip(nxt_ids, 0, V - 1)
+    hit = valid & tied[ia, ib]
+    first = jnp.argmax(hit)  # first True index (0 if none; guarded by ok)
+    pa = ids[first]
+    pb = nxt_ids[first]
+    ok = (maxc > 0) & jnp.any(hit)
+    return pa, pb, maxc, ok
+
+
+def select_max_pair_dense(ids, seg, n, V: int):
+    """Exact selection via the XLA one-hot-matmul dense count path."""
+    counts = count_pairs_dense(ids, seg, n, V)
+    return select_from_counts(ids, seg, n, counts, V)
+
+
+def select_max_pair_pallas(ids, seg, n, V: int, interpret: bool = False):
+    """Exact selection via the fused Pallas MXU pair-count kernel."""
+    from .pallas.pair_count import count_pairs_pallas
+
+    counts = count_pairs_pallas(ids, seg, n, V, interpret=interpret)
+    return select_from_counts(ids, seg, n, counts, V)

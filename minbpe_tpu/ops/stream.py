@@ -71,6 +71,26 @@ def pack_chunks(chunks: list[bytes], capacity: int | None = None):
     return ids, seg, np.int32(n)
 
 
+def pack_offsets(data: np.ndarray, ends: np.ndarray, capacity: int | None = None):
+    """Pack a byte array + chunk-end offsets into (ids, seg, n) — the fully
+    vectorized packing path (no per-chunk Python objects).
+
+    data: uint8/int32 array of the whole text's bytes; ends: int array of
+    chunk end offsets (last element == len(data)).
+    """
+    n = int(data.shape[0])
+    cap = bucket_capacity(n) if capacity is None else capacity
+    ids = np.full(cap, PAD, dtype=np.int32)
+    ids[:n] = data
+    seg = np.full(cap, PAD_SEG, dtype=np.int32)
+    if len(ends):
+        lengths = np.diff(ends, prepend=0)
+        seg[:n] = np.repeat(
+            np.arange(len(ends), dtype=np.int32), lengths
+        )
+    return ids, seg, np.int32(n)
+
+
 def unpack_ids(ids: np.ndarray, n: int) -> list[int]:
     """Return the live token ids as a Python list (host-side boundary)."""
     return np.asarray(ids[:int(n)]).tolist()

@@ -19,19 +19,30 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .select import select_max_pair
+from .select import (
+    select_max_pair, select_max_pair_dense, select_max_pair_pallas,
+)
 from .merge import apply_merge
 
+# Vocab bound under which the dense MXU counting path is used on accelerators
+# (count matrix V^2 f32; 2048 -> 16 MB).
+DENSE_SELECT_MAX = 2048
 
-@partial(jax.jit, static_argnames=("num_merges", "vocab_base"))
-def train_merges(ids, seg, n, num_merges: int, vocab_base: int = 256):
+
+@partial(jax.jit, static_argnames=("num_merges", "vocab_base", "select_mode"))
+def train_merges(ids, seg, n, num_merges: int, vocab_base: int = 256,
+                 select_mode: str = "sort"):
     """Learn ``num_merges`` BPE merges from a packed stream.
 
     Returns (pairs[num_merges, 2], counts[num_merges], fail_round) where
     fail_round == num_merges means every round succeeded. New token ids are
     ``vocab_base + round`` exactly as in the reference (minbpe/basic.py:37).
+
+    select_mode: "sort" (exact, any vocab) or "dense" (exact, MXU one-hot
+    matmul counting — fastest for vocab <= DENSE_SELECT_MAX).
     """
     M = num_merges
+    V = vocab_base + num_merges
     pairs0 = jnp.zeros((M, 2), dtype=jnp.int32)
     counts0 = jnp.zeros((M,), dtype=jnp.int32)
 
@@ -39,7 +50,16 @@ def train_merges(ids, seg, n, num_merges: int, vocab_base: int = 256):
         ids, seg, n, pairs, counts, fail_round = state
 
         def do_round(_):
-            pa, pb, cnt, ok = select_max_pair(ids, seg, n)
+            if select_mode == "dense":
+                pa, pb, cnt, ok = select_max_pair_dense(ids, seg, n, V)
+            elif select_mode == "pallas":
+                pa, pb, cnt, ok = select_max_pair_pallas(ids, seg, n, V)
+            elif select_mode == "pallas_interpret":
+                pa, pb, cnt, ok = select_max_pair_pallas(
+                    ids, seg, n, V, interpret=True
+                )
+            else:
+                pa, pb, cnt, ok = select_max_pair(ids, seg, n)
 
             def ok_branch(_):
                 new_ids, new_seg, new_n, _ = apply_merge(

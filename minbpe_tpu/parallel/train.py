@@ -35,7 +35,7 @@ from jax import shard_map
 from ..ops.stream import PAD, PAD_SEG, bucket_capacity
 from ..ops.merge import apply_merge
 
-INT32_MAX = jnp.int32(2**31 - 1)
+INT32_MAX = 2**31 - 1  # plain int: module import must not touch a backend
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:

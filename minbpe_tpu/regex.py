@@ -43,9 +43,36 @@ class RegexTokenizer(Tokenizer):
     def _split_chunks(self, text: str) -> list[bytes]:
         return [c.encode("utf-8") for c in re.findall(self.compiled_pattern, text)]
 
+    def _split_arrays(self, text: str):
+        """(byte array, chunk-end offsets) for the whole text.
+
+        Fast path: the native byte-level scanner (csrc/presplit.cpp) for the
+        two known GPT patterns; fallback: host ``regex`` findall (the oracle,
+        minbpe/regex.py:41) with offsets reconstructed from chunk lengths.
+        Either way no per-chunk Python objects reach the packing code.
+        """
+        import numpy as np
+        from .utils import native
+
+        data = text.encode("utf-8")
+        mode = {GPT4_SPLIT_PATTERN: 4, GPT2_SPLIT_PATTERN: 2}.get(self.pattern)
+        ends = native.split_offsets(data, mode) if mode is not None else None
+        if ends is None:
+            lengths = [
+                len(c.encode("utf-8"))
+                for c in re.findall(self.compiled_pattern, text)
+            ]
+            ends = np.cumsum(np.asarray(lengths, dtype=np.int64))
+        arr = np.frombuffer(data, dtype=np.uint8)
+        return self._transform_bytes_array(arr), ends
+
+    def _transform_bytes_array(self, arr):
+        """Hook for vectorized byte-level preprocessing before BPE (identity
+        here; GPT4Tokenizer installs its byte shuffle)."""
+        return arr
+
     def _transform_chunk_bytes(self, chunk: bytes) -> bytes:
-        """Hook for byte-level preprocessing of each chunk before BPE
-        (identity here; GPT4Tokenizer installs its byte shuffle)."""
+        """Per-chunk variant of the transform hook (list-based paths)."""
         return chunk
 
     # -- training -----------------------------------------------------------
@@ -55,8 +82,9 @@ class RegexTokenizer(Tokenizer):
         count/tie-break semantics match exactly."""
         assert vocab_size >= 256
         num_merges = vocab_size - 256
-        self.merges, self.vocab = engine.train_chunks(
-            self._split_chunks(text), num_merges, verbose
+        data, ends = self._split_arrays(text)
+        self.merges, self.vocab = engine.train_offsets(
+            data, ends, num_merges, verbose
         )
         self._invalidate_device_state()
 
@@ -84,8 +112,8 @@ class RegexTokenizer(Tokenizer):
     def encode_ordinary(self, text: str) -> list[int]:
         """Encode ignoring special tokens (minbpe/regex.py:111-121). The whole
         chunked text goes to device as one segmented stream."""
-        chunks = [self._transform_chunk_bytes(c) for c in self._split_chunks(text)]
-        return engine.encode_chunks(self, chunks)
+        data, ends = self._split_arrays(text)
+        return engine.encode_offsets(self, data, ends)
 
     def encode(self, text: str, allowed_special="none_raise") -> list[int]:
         """Special-token-aware encode; allowed_special semantics per
