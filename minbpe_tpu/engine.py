@@ -59,18 +59,23 @@ def run_train(ids, seg, n, num_merges: int, verbose: bool = False,
     the sort-based path otherwise (both exact).
     """
     from .ops.train import DENSE_SELECT_MAX
+    from .ops.train_inc import train_merges_incremental
 
     if select_mode == "auto":
-        import jax
-
-        on_mxu = jax.default_backend() == "tpu"
+        # incremental-count loop wins on every backend while the dense count
+        # matrix fits; the sort path covers arbitrary vocab sizes
         select_mode = (
-            "pallas" if (on_mxu and 256 + num_merges <= DENSE_SELECT_MAX) else "sort"
+            "incremental" if 256 + num_merges <= DENSE_SELECT_MAX else "sort"
         )
-    pairs, counts, fail_round = train_merges(
-        jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(n), num_merges,
-        select_mode=select_mode,
-    )
+    if select_mode == "incremental":
+        pairs, counts, fail_round = train_merges_incremental(
+            jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(n), num_merges
+        )
+    else:
+        pairs, counts, fail_round = train_merges(
+            jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(n), num_merges,
+            select_mode=select_mode,
+        )
     pairs = np.asarray(pairs)
     counts = np.asarray(counts)
     fail_round = int(fail_round)

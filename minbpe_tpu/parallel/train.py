@@ -33,7 +33,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..ops.stream import PAD, PAD_SEG, bucket_capacity
-from ..ops.merge import apply_merge
+from ..ops.merge import compact
 
 INT32_MAX = 2**31 - 1  # plain int: module import must not touch a backend
 
@@ -78,8 +78,13 @@ def shard_chunks(chunks: list[bytes], n_shards: int):
     return ids.reshape(-1), seg.reshape(-1), lens
 
 
-def _local_pair_stats(ids, seg, n, gpos_base, V):
-    """Dense per-shard (count, min-global-position) matrices, OOB-dropped."""
+def _local_pair_stats(ids, seg, n, gpos_base, V, halo_id, halo_seg, halo_ok):
+    """Dense per-shard (count, min-global-position) matrices, OOB-dropped.
+
+    Includes the cross-shard boundary pair (last local token, next shard's
+    first token) when the halo is valid and in the same segment — the 1-token
+    halo called out in SURVEY.md §2.3 for the unsegmented Basic path.
+    """
     Nl = ids.shape[0]
     idx = jnp.arange(Nl, dtype=jnp.int32)
     nxt_ids = jnp.roll(ids, -1)
@@ -91,29 +96,100 @@ def _local_pair_stats(ids, seg, n, gpos_base, V):
     minpos = jnp.full((V, V), INT32_MAX, jnp.int32).at[ia, ib].min(
         gpos_base + idx, mode="drop"
     )
+    # boundary pair (left token is ours, partner lives on the next shard)
+    lastpos = jnp.maximum(n - 1, 0)
+    bvalid = halo_ok & (n > 0) & (seg[lastpos] == halo_seg)
+    ba = jnp.where(bvalid, ids[lastpos], V)
+    bb = jnp.where(bvalid, halo_id, V)
+    counts = counts.at[ba, bb].add(1, mode="drop")
+    minpos = minpos.at[ba, bb].min(gpos_base + lastpos, mode="drop")
     return counts, minpos
+
+
+def _halo_exchange(ids, seg, n, n_shards):
+    """Each shard receives the first token of the nearest NON-EMPTY shard to
+    its right (multi-hop 1-token halo, exact even across empty shards)."""
+    D = n_shards
+    firsts = jax.lax.all_gather(ids[0], "data")
+    fsegs = jax.lax.all_gather(seg[0], "data")
+    nons = jax.lax.all_gather(n > 0, "data")
+    d = jax.lax.axis_index("data")
+    ar = jnp.arange(D, dtype=jnp.int32)
+    cand = jnp.where(nons & (ar > d), ar, D)
+    j = jnp.min(cand)
+    halo_ok = j < D
+    jc = jnp.minimum(j, D - 1)
+    return firsts[jc], fsegs[jc], halo_ok
+
+
+def _extended_keep(ids, seg, n, pa, pb, halo_id, halo_seg, halo_ok):
+    """Match + left-first keep masks over local pairs PLUS the boundary pair,
+    under both possible carry-ins from the left shard.
+
+    Returns (keep0, keep1, co0, co1): keep masks for carry-in 0/1 (index
+    n-1 is the boundary pair's keep), and the boundary-pair keep bit under
+    each carry-in (the shard's 2-state transfer function).
+    """
+    Nl = ids.shape[0]
+    idx = jnp.arange(Nl, dtype=jnp.int32)
+    nxt_ids = jnp.roll(ids, -1)
+    nxt_seg = jnp.roll(seg, -1)
+    valid = (idx + 1 < n) & (seg == nxt_seg)
+    m_int = valid & (ids == pa) & (nxt_ids == pb)
+    lastpos = jnp.maximum(n - 1, 0)
+    bvalid = halo_ok & (n > 0) & (seg[lastpos] == halo_seg)
+    bm = bvalid & (ids[lastpos] == pa) & (halo_id == pb)
+    m = jnp.where(idx == n - 1, bm, m_int)
+    m_prev = jnp.roll(m, 1).at[0].set(False)
+    new_run = m & ~m_prev
+    run_start = jax.lax.cummax(jnp.where(new_run, idx, -1))
+    off = idx - run_start
+    keep0 = m & ((off & 1) == 0)
+    # carry-in = 1: the pair just left of our first token was kept, so the
+    # run that starts at index 0 (if any) has its parity flipped
+    in_first_run = m & (run_start == 0) & m[0]
+    keep1 = jnp.where(in_first_run, m & ((off & 1) == 1), keep0)
+    # transfer function carry_in -> carry_out: carry_out is whether the pair
+    # immediately left of the NEXT shard's first token was kept. For a
+    # non-empty shard that pair is our boundary pair; for an empty shard the
+    # incoming carry passes through unchanged (identity transfer).
+    co0 = (n > 0) & keep0[lastpos] & bm
+    co1 = jnp.where(n > 0, keep1[lastpos] & bm, True)
+    return keep0, keep1, co0, co1
 
 
 def build_distributed_train(mesh: Mesh, num_merges: int, vocab_size: int,
                             shard_capacity: int):
     """Returns a jitted fn: (ids[D*Nl], seg[D*Nl], lens[D]) ->
-    (pairs[M,2], counts[M], fail_round)."""
+    (pairs[M,2], counts[M], fail_round).
+
+    Exact for both segmented (Regex) and unsegmented (Basic) streams: the
+    boundary pair between consecutive shards is counted by its left owner
+    and merged with globally-correct left-first parity via a per-round
+    2-state carry scan across shards; empty shards are handled by the
+    multi-hop halo + identity carry transfer.
+    """
     V = vocab_size
     M = num_merges
     Nl = shard_capacity
+    D = mesh.devices.size
 
     def shard_body(ids, seg, lens):
         # local views: ids, seg: [Nl]; lens: [1]
         n = lens[0]
         d = jax.lax.axis_index("data")
         gpos_base = d.astype(jnp.int32) * jnp.int32(Nl)
+        idx = jnp.arange(Nl, dtype=jnp.int32)
 
         pairs0 = jnp.zeros((M, 2), jnp.int32)
         counts0 = jnp.zeros((M,), jnp.int32)
 
         def body(i, state):
             ids, seg, n, pairs, counts, fail = state
-            lc, lp = _local_pair_stats(ids, seg, n, gpos_base, V)
+            halo_id, halo_seg, halo_ok = _halo_exchange(ids, seg, n, D)
+            lc, lp = _local_pair_stats(
+                ids, seg, n, gpos_base, V, halo_id, halo_seg, halo_ok
+            )
             gc = jax.lax.psum(lc, "data")
             gp = jax.lax.pmin(lp, "data")
             maxc = jnp.max(gc)
@@ -125,10 +201,31 @@ def build_distributed_train(mesh: Mesh, num_merges: int, vocab_size: int,
             ok = (maxc > 0) & (fail >= i)
 
             def do(_):
-                new_ids, new_seg, new_n, _ = apply_merge(
-                    ids, seg, n, pa, pb, jnp.int32(256) + i
+                keep0, keep1, co0, co1 = _extended_keep(
+                    ids, seg, n, pa, pb, halo_id, halo_seg, halo_ok
                 )
-                return (new_ids, new_seg, new_n,
+                # resolve carry-ins: compose the per-shard transfer functions
+                # left to right (replicated scan over D gathered bit-pairs)
+                co0g = jax.lax.all_gather(co0, "data")
+                co1g = jax.lax.all_gather(co1, "data")
+
+                def carry_step(dd, st):
+                    carry, mine = st
+                    mine = jnp.where(dd == d, carry, mine)
+                    carry = jnp.where(carry, co1g[dd], co0g[dd])
+                    return carry, mine
+
+                init = jax.lax.pcast(
+                    (jnp.bool_(False), jnp.bool_(False)), ("data",),
+                    to="varying",
+                )
+                _, carry_in = jax.lax.fori_loop(0, D, carry_step, init)
+                keep = jnp.where(carry_in, keep1, keep0)
+                new_ids = jnp.where(keep, jnp.int32(256) + i, ids)
+                killed = jnp.roll(keep, 1).at[0].set(carry_in)
+                live = ~killed & (idx < n)
+                out_ids, out_seg, new_n = compact(new_ids, seg, live)
+                return (out_ids, out_seg, new_n,
                         pairs.at[i, 0].set(pa).at[i, 1].set(pb),
                         counts.at[i].set(maxc), fail)
 
@@ -156,19 +253,25 @@ def build_distributed_train(mesh: Mesh, num_merges: int, vocab_size: int,
     return jax.jit(train)
 
 
-def train_chunks_distributed(chunks: list[bytes], num_merges: int,
-                             mesh: Mesh | None = None, verbose: bool = False):
-    """Host entry: shard chunks over the mesh and run distributed training.
+def shard_bytes(data: bytes, n_shards: int):
+    """Even byte-level sharding for unsegmented (Basic) streams; cross-shard
+    pairs are handled exactly by the halo/carry machinery."""
+    total = len(data)
+    per = -(-total // n_shards) if total else 1
+    Nl = bucket_capacity(per)
+    ids = np.full((n_shards, Nl), PAD, dtype=np.int32)
+    seg = np.full((n_shards, Nl), PAD_SEG, dtype=np.int32)
+    lens = np.zeros(n_shards, dtype=np.int32)
+    arr = np.frombuffer(data, dtype=np.uint8)
+    for d in range(n_shards):
+        sl = arr[d * per:(d + 1) * per]
+        ids[d, :len(sl)] = sl
+        seg[d, :len(sl)] = 0
+        lens[d] = len(sl)
+    return ids.reshape(-1), seg.reshape(-1), lens
 
-    Returns (merges dict, vocab dict) with reference-identical contents.
-    """
-    mesh = mesh if mesh is not None else make_mesh()
-    D = mesh.devices.size
-    ids, seg, lens = shard_chunks(chunks, D)
-    Nl = ids.shape[0] // D
-    V = 256 + num_merges
-    fn = build_distributed_train(mesh, num_merges, V, Nl)
-    pairs, counts, fail = fn(jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(lens))
+
+def _finish_train(pairs, counts, fail, num_merges, verbose):
     pairs = np.asarray(pairs)
     counts = np.asarray(counts)
     if int(fail) < num_merges:
@@ -186,3 +289,34 @@ def train_chunks_distributed(chunks: list[bytes], num_merges: int,
             print(f"merge {i+1}/{num_merges}: {pair} -> {idx} "
                   f"({vocab[idx]}) had {int(counts[i])} occurrences")
     return merges, vocab
+
+
+def train_bytes_distributed(data: bytes, num_merges: int,
+                            mesh: Mesh | None = None, verbose: bool = False):
+    """Distributed training over a raw (unsegmented) byte stream — the
+    BasicTokenizer path, with exact cross-shard boundary handling."""
+    mesh = mesh if mesh is not None else make_mesh()
+    D = mesh.devices.size
+    ids, seg, lens = shard_bytes(data, D)
+    Nl = ids.shape[0] // D
+    fn = build_distributed_train(mesh, num_merges, 256 + num_merges, Nl)
+    out = fn(jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(lens))
+    return _finish_train(*out, num_merges, verbose)
+
+
+def train_chunks_distributed(chunks: list[bytes], num_merges: int,
+                             mesh: Mesh | None = None, verbose: bool = False):
+    """Host entry: shard chunks over the mesh and run distributed training.
+
+    Returns (merges dict, vocab dict) with reference-identical contents.
+    """
+    mesh = mesh if mesh is not None else make_mesh()
+    D = mesh.devices.size
+    ids, seg, lens = shard_chunks(chunks, D)
+    Nl = ids.shape[0] // D
+    V = 256 + num_merges
+    fn = build_distributed_train(mesh, num_merges, V, Nl)
+    pairs, counts, fail = fn(
+        jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(lens)
+    )
+    return _finish_train(pairs, counts, fail, num_merges, verbose)

@@ -46,6 +46,54 @@ def test_distributed_matches_single_device_on_text():
     assert merges == single.merges
 
 
+class TestBasicHalo:
+    """Unsegmented (Basic) distributed training: cross-shard pairs must be
+    counted and merged with exact global left-first parity."""
+
+    @pytest.mark.parametrize("seed", range(8))
+    def test_matches_oracle(self, seed):
+        from minbpe_tpu.parallel.train import train_bytes_distributed
+
+        rng = random.Random(1000 + seed)
+        # small alphabets + runs force merges and runs straddling shards
+        data = bytes(
+            rng.choice([rng.randint(97, 99), 97])
+            for _ in range(rng.randint(16, 300))
+        )
+        num_merges = rng.randint(1, 8)
+        try:
+            expected = oracle.train([list(data)], num_merges)
+        except ValueError:
+            expected = None
+        mesh = make_mesh(8)
+        if expected is None:
+            with pytest.raises(ValueError):
+                train_bytes_distributed(data, num_merges, mesh)
+            return
+        merges, _ = train_bytes_distributed(data, num_merges, mesh)
+        assert merges == {pair: nid for pair, nid in expected}
+
+    def test_single_byte_runs_across_shards(self):
+        from minbpe_tpu.parallel.train import train_bytes_distributed
+
+        # one long run of 'a': merges and runs cross every shard boundary
+        data = b"a" * 131
+        expected = oracle.train([list(data)], 4)
+        merges, _ = train_bytes_distributed(data, 4, make_mesh(8))
+        assert merges == {pair: nid for pair, nid in expected}
+
+    def test_matches_single_device_corpus_slice(self):
+        from minbpe_tpu import BasicTokenizer
+        from minbpe_tpu.parallel.train import train_bytes_distributed
+
+        text = open("/root/reference/tests/taylorswift.txt", "rb").read()[:4000]
+        single = BasicTokenizer()
+        single.train(text.decode("utf-8", errors="ignore"), 256 + 32)
+        data = text.decode("utf-8", errors="ignore").encode("utf-8")
+        merges, _ = train_bytes_distributed(data, 32, make_mesh(8))
+        assert merges == single.merges
+
+
 def test_shard_chunks_layout():
     chunks = [b"abc", b"de", b"f", b"ghij", b"kl"]
     ids, seg, lens = shard_chunks(chunks, 4)
