@@ -14,13 +14,19 @@ class BasicTokenizer(Tokenizer):
     def __init__(self):
         super().__init__()
 
-    def train(self, text: str, vocab_size: int, verbose: bool = False):
+    def train(self, text: str, vocab_size: int, verbose: bool = False,
+              **train_opts):
         """Learn vocab_size-256 merges from the whole text as one stream
-        (minbpe/basic.py:20-49)."""
+        (minbpe/basic.py:20-49).
+
+        Extra keyword options (beyond the reference surface): select_mode,
+        checkpoint_path, checkpoint_every, resume_from, profile_dir,
+        progress — see engine.run_train.
+        """
         assert vocab_size >= 256
         num_merges = vocab_size - 256
         self.merges, self.vocab = engine.train_bytes(
-            text.encode("utf-8"), num_merges, verbose
+            text.encode("utf-8"), num_merges, verbose, **train_opts
         )
         self._invalidate_device_state()
 

@@ -12,7 +12,10 @@ import jax.numpy as jnp
 
 from .ops import stream as stream_ops
 from .ops.train import train_merges
-from .ops.encode import build_rank_table, encode_stream, encode_stream_sorted
+from .ops.encode import (
+    build_rank_table, encode_stream, encode_stream_sorted,
+    encode_stream_stepped,
+)
 from .ops.ranktab import SortedPairTable
 from .ops import chunk_encode
 
@@ -48,34 +51,78 @@ def device_table(tokenizer) -> DeviceMergeTable:
 
 
 def run_train(ids, seg, n, num_merges: int, verbose: bool = False,
-              select_mode: str = "auto"):
+              select_mode: str = "auto", checkpoint_path: str | None = None,
+              checkpoint_every: int | None = None,
+              resume_from: str | None = None,
+              profile_dir: str | None = None, progress=None):
     """Run the compiled training loop; return the merges dict + vocab dict.
 
     Replicates reference bookkeeping (minbpe/basic.py:29-45): new ids are
     256+round, vocab entries are concatenations of the children's bytes, and
     verbose prints one line per round in the reference's format.
 
-    select_mode "auto" picks the dense MXU counting path for small vocabs and
-    the sort-based path otherwise (both exact).
+    select_mode "auto" picks the host-stepped incremental-count loop for
+    small vocabs and the sort-based whole-run loop otherwise (all exact).
+    Optional: resumable checkpoints (checkpoint_path/_every/resume_from),
+    jax profiler traces (profile_dir), and a progress(done, total) callback.
     """
+    import contextlib
+
     from .ops.train import DENSE_SELECT_MAX
-    from .ops.train_inc import train_merges_incremental
+    from .ops.train_inc import train_merges_incremental, train_merges_stepped
+    from .ops.pallas.fused_train import FUSED_MAX_N, FUSED_MAX_V
 
     if select_mode == "auto":
-        # incremental-count loop wins on every backend while the dense count
-        # matrix fits; the sort path covers arbitrary vocab sizes
-        select_mode = (
-            "incremental" if 256 + num_merges <= DENSE_SELECT_MAX else "sort"
+        import jax
+
+        V = 256 + num_merges
+        N = ids.shape[0] if hasattr(ids, "shape") else len(ids)
+        can_fuse = (
+            jax.default_backend() == "tpu"
+            and V <= FUSED_MAX_V and N <= FUSED_MAX_N
+            and checkpoint_path is None and resume_from is None
+            and progress is None
         )
-    if select_mode == "incremental":
-        pairs, counts, fail_round = train_merges_incremental(
-            jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(n), num_merges
-        )
+        if can_fuse:
+            # whole training loop in one Pallas kernel: state in VMEM,
+            # zero per-round dispatch
+            select_mode = "fused"
+        elif V <= DENSE_SELECT_MAX:
+            # incremental-count stepping: no sort, no recount
+            select_mode = "stepped"
+        else:
+            select_mode = "sort"
+
+    if profile_dir is not None:
+        import jax
+
+        prof = jax.profiler.trace(profile_dir)
     else:
-        pairs, counts, fail_round = train_merges(
-            jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(n), num_merges,
-            select_mode=select_mode,
-        )
+        prof = contextlib.nullcontext()
+
+    with prof:
+        if select_mode == "fused":
+            from .ops.pallas.fused_train import train_merges_fused
+
+            pairs, counts, fail_round = train_merges_fused(
+                jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(n), num_merges
+            )
+        elif select_mode == "stepped":
+            pairs, counts, fail_round = train_merges_stepped(
+                ids, seg, n, num_merges,
+                checkpoint_path=checkpoint_path,
+                checkpoint_every=checkpoint_every,
+                resume_from=resume_from, progress=progress,
+            )
+        elif select_mode == "incremental":
+            pairs, counts, fail_round = train_merges_incremental(
+                jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(n), num_merges
+            )
+        else:
+            pairs, counts, fail_round = train_merges(
+                jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(n), num_merges,
+                select_mode=select_mode,
+            )
     pairs = np.asarray(pairs)
     counts = np.asarray(counts)
     fail_round = int(fail_round)
@@ -104,7 +151,7 @@ def encode_packed(tokenizer, ids, seg, n) -> list[int]:
     """Encode a packed stream with the tokenizer's frozen merge table."""
     dev = device_table(tokenizer)
     if dev.kind == "dense":
-        out_ids, out_n = encode_stream(
+        out_ids, out_n = encode_stream_stepped(
             jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(n),
             dev.rank_table, dev.merge_pairs, dev.merge_ids,
         )
@@ -148,16 +195,17 @@ def encode_offsets(tokenizer, data, ends) -> list[int]:
     return encode_packed(tokenizer, ids, seg, n)
 
 
-def train_offsets(data, ends, num_merges: int, verbose: bool = False):
+def train_offsets(data, ends, num_merges: int, verbose: bool = False, **opts):
     ids, seg, n = stream_ops.pack_offsets(data, ends)
-    return run_train(ids, seg, n, num_merges, verbose)
+    return run_train(ids, seg, n, num_merges, verbose, **opts)
 
 
-def train_bytes(data: bytes, num_merges: int, verbose: bool = False):
+def train_bytes(data: bytes, num_merges: int, verbose: bool = False, **opts):
     ids, seg, n = stream_ops.pack_bytes(data)
-    return run_train(ids, seg, n, num_merges, verbose)
+    return run_train(ids, seg, n, num_merges, verbose, **opts)
 
 
-def train_chunks(chunks: list[bytes], num_merges: int, verbose: bool = False):
+def train_chunks(chunks: list[bytes], num_merges: int, verbose: bool = False,
+                 **opts):
     ids, seg, n = stream_ops.pack_chunks(chunks)
-    return run_train(ids, seg, n, num_merges, verbose)
+    return run_train(ids, seg, n, num_merges, verbose, **opts)

@@ -83,6 +83,56 @@ def encode_stream(ids, seg, n, rank_table, merge_pairs, merge_ids):
     return ids, n
 
 
+@partial(jax.jit, static_argnames=("unroll",), donate_argnums=(0, 1, 2))
+def _encode_step(ids, seg, n, done, rank_table, merge_pairs, merge_ids,
+                 unroll: int = 8):
+    """``unroll`` min-present-rank iterations as one dispatch (host-driven
+    encode loop; bit-identical to encode_stream)."""
+    V = rank_table.shape[0]
+
+    def one(state):
+        ids, seg, n, done = state
+
+        def pair_ranks():
+            valid, nxt_ids = pair_validity(ids, seg, n)
+            ia = jnp.clip(ids, 0, V - 1)
+            ib = jnp.clip(nxt_ids, 0, V - 1)
+            return jnp.where(valid, rank_table[ia, ib], RANK_INF)
+
+        r = jnp.min(pair_ranks())
+
+        def apply(_):
+            rr = jnp.minimum(r, merge_ids.shape[0] - 1)
+            new_ids, new_seg, new_n, _ = apply_merge(
+                ids, seg, n, merge_pairs[rr, 0], merge_pairs[rr, 1],
+                merge_ids[rr]
+            )
+            return new_ids, new_seg, new_n, jnp.bool_(False)
+
+        def stop(_):
+            return ids, seg, n, jnp.bool_(True)
+
+        return jax.lax.cond(done | (r == RANK_INF), stop, apply, None)
+
+    state = (ids, seg, n, done)
+    for _ in range(unroll):
+        state = one(state)
+    return state
+
+
+def encode_stream_stepped(ids, seg, n, rank_table, merge_pairs, merge_ids,
+                          unroll: int = 8):
+    """Host-driven encode: dispatch ``unroll`` iterations at a time, checking
+    the done flag between dispatches (one scalar transfer each)."""
+    state = (jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(n),
+             jnp.bool_(False))
+    while True:
+        state = _encode_step(state[0], state[1], state[2], state[3],
+                             rank_table, merge_pairs, merge_ids, unroll)
+        if bool(state[3]):
+            return state[0], state[2]
+
+
 @partial(jax.jit, static_argnames=("depth",))
 def encode_stream_sorted(ids, seg, n, ka, kb, rank, merge_pairs, merge_ids,
                          depth: int):

@@ -1,0 +1,376 @@
+"""Fully-fused Pallas BPE training kernel: the ENTIRE merge loop in one
+kernel launch.
+
+Motivation: per-kernel overheads (dispatch, and on remotely-tunneled PJRT
+backends, per-kernel round-trips) dominate BPE rounds, whose math is tiny.
+At bench scale the whole training state fits in VMEM (1 MB ids for a 256K
+stream), so this kernel keeps state on-chip and runs every merge round inside
+one ``fori_loop`` — zero HBM traffic between rounds, zero dispatch overhead.
+
+The round is formulated gather/scatter/sort-free so every op lowers cleanly
+to Mosaic:
+
+- pair adjacency over tombstones ("id/seg of the next live token") is a
+  blocked reverse select-scan (rolls + selects, log passes) — no pointers,
+  no compaction, ever;
+- pair counts are one-hot MXU matmuls accumulated per 128-element row
+  (`counts = sum_r A_r^T B_r`), rebuilt each round — no scatter;
+- the reference tie-break (earliest first occurrence among max-count pairs,
+  minbpe/basic.py:35 + base.py:20-21) runs only on actual ties, via a second
+  matmul trick: per-position tie membership = rowsum((A_r @ tied) * B_r),
+  reduced straight to the first flat index — no gather;
+- left-first overlap parity (minbpe/base.py:33-41) uses chain positions
+  (cumsum of live) and run-start chain positions (forward select-scan);
+- consumed-token kills are "previous live token was kept" — another
+  exclusive select-scan.
+
+Layout: the stream lives as (R, 128) int32 in VMEM, flat order row-major.
+Scans are two-level (in-row lane scans + cross-row scans). One-hot building
+slices columns of a transposed (128, 128) tile so the 128 elements of a row
+land on sublanes without per-row relayouts.
+
+Supported sizes: N <= ~1M tokens (VMEM), V <= 1024. Larger runs use the
+stepped/sort paths (ops/train_inc.py, ops/train.py); multi-chip runs shard
+first (parallel/train.py).
+
+Exactness: bit-identical to ops.train.train_merges (tests/test_fused.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+C = 128          # lane width; stream layout is (R, C)
+TILE_ROWS = 128  # rows per count-matmul tile (tile = 128x128 elements)
+INT32_MAX = 2**31 - 1
+
+# auto-mode limits: the working set (5 int32 planes + scan temporaries) must
+# fit the raised VMEM budget; larger runs use the stepped/sort/sharded paths
+FUSED_MAX_N = 1 << 21
+FUSED_MAX_V = 1024
+
+
+# ---------------------------------------------------------------------------
+# blocked flat-order scans over (R, C) arrays
+# ---------------------------------------------------------------------------
+
+def _row_iota(R):
+    return jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
+
+
+def _lane_iota(R):
+    return jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
+
+
+def _shift_lanes(x, k, fill):
+    """Shift +k toward higher lanes; vacated lanes get fill."""
+    rolled = pltpu.roll(x, shift=k, axis=1)
+    return jnp.where(_lane_iota(x.shape[0]) >= k, rolled, fill)
+
+
+def _shift_rows(x, k, fill):
+    rolled = pltpu.roll(x, shift=k, axis=0)
+    return jnp.where(_row_iota(x.shape[0]) >= k, rolled, fill)
+
+
+def _shift_rows_rev(x, k, fill):
+    R = x.shape[0]
+    rolled = pltpu.roll(x, shift=R - k, axis=0)  # negative shift = R - k
+    return jnp.where(_row_iota(R) < R - k, rolled, fill)
+
+
+def _shift_lanes_rev(x, k, fill):
+    rolled = pltpu.roll(x, shift=C - k, axis=1)  # negative shift = C - k
+    return jnp.where(_lane_iota(x.shape[0]) < C - k, rolled, fill)
+
+
+def _shift_flat_fwd(xs, fills):
+    """Shift a tuple of (R, C) arrays by +1 in flat order."""
+    R = xs[0].shape[0]
+    lane0 = _lane_iota(R) == 0
+    out = []
+    for x, fill in zip(xs, fills):
+        s = _shift_lanes(x, 1, fill)
+        carry = _shift_rows(x[:, C - 1:C], 1, fill)  # prev row's last elem
+        out.append(jnp.where(lane0, carry, s))
+    return tuple(out)
+
+
+def _shift_flat_rev(xs, fills):
+    """Shift a tuple of (R, C) arrays by -1 in flat order."""
+    R = xs[0].shape[0]
+    lane_last = _lane_iota(R) == C - 1
+    out = []
+    for x, fill in zip(xs, fills):
+        s = _shift_lanes_rev(x, 1, fill)
+        carry = _shift_rows_rev(x[:, 0:1], 1, fill)  # next row's first elem
+        out.append(jnp.where(lane_last, carry, s))
+    return tuple(out)
+
+
+def _cumsum_flat(x):
+    """Inclusive sum-scan in flat order of an (R, C) int32 array."""
+    R = x.shape[0]
+    k = 1
+    while k < C:
+        x = x + _shift_lanes(x, k, 0)
+        k *= 2
+    totals = x[:, C - 1:C]  # (R, 1) inclusive row totals
+    k = 1
+    while k < R:
+        totals = totals + _shift_rows(totals, k, 0)
+        k *= 2
+    prefix = _shift_rows(totals, 1, 0)  # exclusive row prefix
+    return x + prefix
+
+
+def _select_scan_fwd(s, v, fill):
+    """Inclusive forward select-scan: at i, the v of the LAST index j <= i
+    with s[j] (fill where none). s: int32 0/1, v: int32."""
+    R = s.shape[0]
+    k = 1
+    while k < C:
+        ps = _shift_lanes(s, k, 0)
+        pv = _shift_lanes(v, k, fill)
+        v = jnp.where(s == 1, v, pv)
+        s = s | ps
+        k *= 2
+    rs, rv = s[:, C - 1:C], v[:, C - 1:C]
+    k = 1
+    while k < R:
+        ps = _shift_rows(rs, k, 0)
+        pv = _shift_rows(rv, k, fill)
+        rv = jnp.where(rs == 1, rv, pv)
+        rs = rs | ps
+        k *= 2
+    prs = _shift_rows(rs, 1, 0)
+    prv = _shift_rows(rv, 1, fill)
+    v = jnp.where(s == 1, v, prv)
+    s = s | prs
+    return s, v
+
+
+def _select_scan_fwd_exclusive(s, v, fill):
+    """At i: the v of the last index j < i with s[j]."""
+    s1, v1 = _shift_flat_fwd((s, v), (0, fill))
+    return _select_scan_fwd(s1, v1, fill)
+
+
+def _select_scan_rev_exclusive(ss, vs, fills):
+    """At i: the values of the FIRST index j > i with set flag. ss: 0/1 flag
+    array; vs: tuple of value arrays scanned together."""
+    s1, *v1 = _shift_flat_rev((ss,) + tuple(vs), (0,) + tuple(fills))
+    R = s1.shape[0]
+    s = s1
+    v = list(v1)
+    k = 1
+    while k < C:
+        ns = _shift_lanes_rev(s, k, 0)
+        nv = [_shift_lanes_rev(x, k, f) for x, f in zip(v, fills)]
+        v = [jnp.where(s == 1, x, y) for x, y in zip(v, nv)]
+        s = s | ns
+        k *= 2
+    rs = s[:, 0:1]
+    rv = [x[:, 0:1] for x in v]
+    k = 1
+    while k < R:
+        ns = _shift_rows_rev(rs, k, 0)
+        nv = [_shift_rows_rev(x, k, f) for x, f in zip(rv, fills)]
+        rv = [jnp.where(rs == 1, x, y) for x, y in zip(rv, nv)]
+        rs = rs | ns
+        k *= 2
+    prs = _shift_rows_rev(rs, 1, 0)
+    prv = [_shift_rows_rev(x, 1, f) for x, f in zip(rv, fills)]
+    v = [jnp.where(s == 1, x, y) for x, y in zip(v, prv)]
+    s = s | prs
+    return (s,) + tuple(v)
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+def _kernel(ids_in, seg_in, live_in, out_ref, ids_ref, seg_ref, live_ref,
+            a_ref, b_ref, dma_sems, *, R: int, V: int, M: int):
+    # inputs live in HBM; copy them into the VMEM working set
+    for src, dst, k in ((ids_in, ids_ref, 0), (seg_in, seg_ref, 1),
+                        (live_in, live_ref, 2)):
+        pltpu.make_async_copy(src, dst, dma_sems.at[k]).start()
+    for src, dst, k in ((ids_in, ids_ref, 0), (seg_in, seg_ref, 1),
+                        (live_in, live_ref, 2)):
+        pltpu.make_async_copy(src, dst, dma_sems.at[k]).wait()
+
+    flat_iota = _row_iota(R) * C + _lane_iota(R)
+    viota = jax.lax.broadcasted_iota(jnp.int32, (C, V), 1)
+    tcol_iota = jax.lax.broadcasted_iota(jnp.int32, (C, TILE_ROWS), 1)
+    n_tiles = R // TILE_ROWS
+
+    def one_hot_col(tt, r):
+        """tt: transposed (C, TILE_ROWS) tile; extract column r (the 128
+        consecutive stream elements, on sublanes) by masked reduce (no
+        dynamic value slicing in Mosaic) -> (C, V) bf16 one-hot."""
+        col = jnp.sum(jnp.where(tcol_iota == r, tt, 0), axis=1, keepdims=True)
+        return (col == viota).astype(jnp.bfloat16)
+
+    def count_matrix():
+        """counts[x, y] = #positions with (a, b) == (x, y); -1 entries skip."""
+        acc = jnp.zeros((V, V), jnp.float32)
+
+        def tile_body(t, acc):
+            at = a_ref[pl.ds(t * TILE_ROWS, TILE_ROWS), :].T
+            bt = b_ref[pl.ds(t * TILE_ROWS, TILE_ROWS), :].T
+
+            def row_body(r, acc):
+                A = one_hot_col(at, r)
+                B = one_hot_col(bt, r)
+                return acc + jax.lax.dot_general(
+                    A, B, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            return jax.lax.fori_loop(0, TILE_ROWS, row_body, acc)
+
+        return jax.lax.fori_loop(0, n_tiles, tile_body, acc).astype(jnp.int32)
+
+    def first_tied_index(tied_f):
+        """Smallest flat index whose (a, b) pair is in the tied set."""
+        best = jnp.int32(INT32_MAX)
+
+        def tile_body(t, best):
+            at = a_ref[pl.ds(t * TILE_ROWS, TILE_ROWS), :].T
+            bt = b_ref[pl.ds(t * TILE_ROWS, TILE_ROWS), :].T
+
+            def row_body(r, best):
+                A = one_hot_col(at, r)
+                B = one_hot_col(bt, r)
+                sel = jax.lax.dot_general(
+                    A, tied_f, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                hit = jnp.sum(sel * B.astype(jnp.float32), axis=1,
+                              keepdims=True)  # (C, 1)
+                base = (t * TILE_ROWS + r) * C
+                fidx = base + jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
+                cand = jnp.min(jnp.where(hit > 0.5, fidx, INT32_MAX))
+                return jnp.minimum(best, cand)
+
+            return jax.lax.fori_loop(0, TILE_ROWS, row_body, best)
+
+        return jax.lax.fori_loop(0, n_tiles, tile_body, best)
+
+    def masked_pick(arr, flat_idx):
+        """arr value at flat position flat_idx (reduce, no gather)."""
+        return jnp.max(jnp.where(flat_iota == flat_idx, arr, -2**31))
+
+    def round_body(i, fail):
+        ids = ids_ref[:]
+        seg = seg_ref[:]
+        live = live_ref[:]
+
+        # next-live id/seg (reverse exclusive select-scan over live)
+        _, nli, nls = _select_scan_rev_exclusive(
+            live, (ids, seg), (-1, -2))
+        valid = (live == 1) & (nli >= 0) & (seg == nls)
+        a = jnp.where(valid, ids, -1)
+        b = jnp.where(valid, nli, -1)
+        a_ref[:] = a
+        b_ref[:] = b
+
+        counts = count_matrix()
+        maxc = jnp.max(counts)
+        tied = counts == maxc
+        n_tied = jnp.sum(tied.astype(jnp.int32))
+
+        def pick_unique(_):
+            # first flat index in the (V, V) matrix achieving maxc
+            vi = jax.lax.broadcasted_iota(jnp.int32, (V, V), 0) * V + \
+                jax.lax.broadcasted_iota(jnp.int32, (V, V), 1)
+            flat = jnp.min(jnp.where(tied, vi, INT32_MAX))
+            return flat // V, flat % V
+
+        def pick_tied(_):
+            fi = first_tied_index(tied.astype(jnp.bfloat16))
+            return masked_pick(a, fi), masked_pick(b, fi)
+
+        pa, pb = jax.lax.cond(n_tied == 1, pick_unique, pick_tied, None)
+        ok = (maxc > 0) & (fail >= i)
+
+        def do(fail):
+            m = (valid & (ids == pa) & (b == pb)).astype(jnp.int32)
+            # previous live index's match flag
+            _, m_prv = _select_scan_fwd_exclusive(live, m, 0)
+            new_run = m * (1 - m_prv)
+            chainpos = _cumsum_flat(live)
+            _, cps = _select_scan_fwd(new_run, chainpos, 0)
+            keep = (m == 1) & (((chainpos - cps) & 1) == 0)
+            # previous live index's keep flag -> this token consumed
+            _, k_prv = _select_scan_fwd_exclusive(
+                live, keep.astype(jnp.int32), 0)
+            killed = k_prv == 1
+            ids_ref[:] = jnp.where(keep, jnp.int32(256) + i, ids)
+            live_ref[:] = jnp.where(killed, 0, live)
+            # record the round
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+            row = jnp.where(lane == 0, pa,
+                            jnp.where(lane == 1, pb,
+                                      jnp.where(lane == 2, maxc, 0)))
+            out_ref[pl.ds(i, 1), :] = row
+            return fail
+
+        def skip(fail):
+            out_ref[pl.ds(i, 1), :] = jnp.zeros((1, C), jnp.int32)
+            return jnp.where(maxc > 0, fail, jnp.minimum(fail, i))
+
+        return jax.lax.cond(ok, do, skip, fail)
+
+    fail = jax.lax.fori_loop(0, M, round_body, jnp.int32(M))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+    out_ref[pl.ds(M, 1), :] = jnp.where(lane == 0, fail, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("num_merges", "interpret"))
+def train_merges_fused(ids, seg, n, num_merges: int, interpret: bool = False):
+    """Whole-training-in-one-kernel driver. Same contract as
+    ops.train.train_merges: (pairs[M,2], counts[M], fail_round)."""
+    M = num_merges
+    V = 256 + M
+    N = ids.shape[0]
+    R = -(-N // C)
+    R = -(-R // TILE_ROWS) * TILE_ROWS  # multiple of the tile height
+    pad = R * C - N
+
+    idx = jnp.arange(N, dtype=jnp.int32)
+    live = (idx < n).astype(jnp.int32)
+    ids2 = jnp.pad(ids, (0, pad), constant_values=-1).reshape(R, C)
+    seg2 = jnp.pad(seg, (0, pad), constant_values=-2).reshape(R, C)
+    live2 = jnp.pad(live, (0, pad)).reshape(R, C)
+
+    Mp = -(-(M + 1) // 8) * 8
+    out = pl.pallas_call(
+        functools.partial(_kernel, R=R, V=V, M=M),
+        out_shape=jax.ShapeDtypeStruct((Mp, C), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((R, C), jnp.int32),  # ids
+            pltpu.VMEM((R, C), jnp.int32),  # seg
+            pltpu.VMEM((R, C), jnp.int32),  # live
+            pltpu.VMEM((R, C), jnp.int32),  # a (masked left ids)
+            pltpu.VMEM((R, C), jnp.int32),  # b (masked next-live ids)
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(ids2, seg2, live2)
+
+    pairs = out[:M, 0:2]
+    counts = out[:M, 2]
+    fail = out[M, 0]
+    return pairs, counts, fail

@@ -165,16 +165,67 @@ def _step(state, i0, V: int, M: int, unroll: int):
     return state
 
 
-def train_merges_stepped(ids, seg, n, num_merges: int, unroll: int = 8):
+def train_merges_stepped(ids, seg, n, num_merges: int, unroll: int = 8,
+                         checkpoint_path: str | None = None,
+                         checkpoint_every: int | None = None,
+                         resume_from: str | None = None,
+                         progress=None):
     """Host-driven driver: ceil(M/unroll) async step dispatches.
 
     Bit-identical to train_merges_incremental; preferred on backends with
-    expensive device-side loop iterations.
+    expensive device-side loop iterations. Optionally writes resumable
+    checkpoints every ``checkpoint_every`` rounds and/or resumes from one
+    (utils/checkpoint.py); calls ``progress(done_rounds, total)`` per step.
     """
+    import numpy as np
+    from ..utils import checkpoint as ckpt
+    from .merge import apply_merge
+
     M = num_merges
     V = 256 + num_merges
-    state = _init_state(jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(n),
-                        V, M)
-    for i0 in range(0, M, unroll):
+    ids = jnp.asarray(ids)
+    seg = jnp.asarray(seg)
+    n = jnp.asarray(n)
+
+    fp = None
+    if checkpoint_path is not None or resume_from is not None:
+        fp = ckpt.corpus_fingerprint(np.asarray(ids), np.asarray(seg), int(n))
+
+    start = 0
+    prefill = None
+    if resume_from is not None:
+        c = ckpt.load(resume_from)
+        if c["fingerprint"] != fp:
+            raise ValueError("checkpoint does not match this corpus")
+        if c["num_merges"] != M:
+            raise ValueError(
+                f"checkpoint trained toward {c['num_merges']} merges, "
+                f"requested {M}"
+            )
+        start = c["round_idx"]
+        # deterministic replay of the merge prefix onto the stream
+        for i in range(start):
+            pa, pb = int(c["pairs"][i, 0]), int(c["pairs"][i, 1])
+            ids, seg, n, _ = apply_merge(
+                ids, seg, n, jnp.int32(pa), jnp.int32(pb), jnp.int32(256 + i)
+            )
+        prefill = (c["pairs"], c["counts"])
+
+    state = _init_state(ids, seg, n, V, M)
+    if prefill is not None:
+        pairs0 = jnp.zeros((M, 2), jnp.int32).at[:start].set(
+            jnp.asarray(prefill[0], jnp.int32))
+        cnts0 = jnp.zeros((M,), jnp.int32).at[:start].set(
+            jnp.asarray(prefill[1], jnp.int32))
+        state = state[:6] + (pairs0, cnts0, state[8])
+
+    for i0 in range(start, M, unroll):
         state = _step(state, jnp.int32(i0), V, M, unroll)
+        done = min(i0 + unroll, M)
+        if progress is not None:
+            progress(done, M)
+        if (checkpoint_path is not None and checkpoint_every
+                and (done % checkpoint_every == 0 or done >= M) and done < M):
+            ckpt.save(checkpoint_path, np.asarray(state[6]),
+                      np.asarray(state[7]), done, M, fp)
     return state[6], state[7], state[8]

@@ -76,15 +76,17 @@ class RegexTokenizer(Tokenizer):
         return chunk
 
     # -- training -----------------------------------------------------------
-    def train(self, text: str, vocab_size: int, verbose: bool = False):
+    def train(self, text: str, vocab_size: int, verbose: bool = False,
+              **train_opts):
         """Pair counts are summed across chunks each round (minbpe/regex.py:36-70);
         on device the chunks are one segmented stream in corpus order, so the
-        count/tie-break semantics match exactly."""
+        count/tie-break semantics match exactly. Extra keyword options:
+        see engine.run_train."""
         assert vocab_size >= 256
         num_merges = vocab_size - 256
         data, ends = self._split_arrays(text)
         self.merges, self.vocab = engine.train_offsets(
-            data, ends, num_merges, verbose
+            data, ends, num_merges, verbose, **train_opts
         )
         self._invalidate_device_state()
 

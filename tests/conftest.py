@@ -19,10 +19,13 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 try:  # keep the remote-TPU plugin from ever initializing inside tests
+    # (JAX_PLATFORMS=cpu prevents backend *init*, but the axon plugin's
+    # registration alone can stall; drop it. The builtin "tpu" factory must
+    # stay registered: pallas imports need the platform to be known.)
     import jax._src.xla_bridge as _xb
 
     for _name in list(getattr(_xb, "_backend_factories", {})):
-        if _name not in ("cpu",):
+        if _name not in ("cpu", "tpu", "cuda", "rocm", "gpu", "METAL"):
             _xb._backend_factories.pop(_name, None)
 except Exception:
     pass

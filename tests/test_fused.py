@@ -1,0 +1,52 @@
+"""Fused whole-training Pallas kernel: bit-parity with the sort path
+(interpret mode on CPU)."""
+
+import random
+
+import numpy as np
+import pytest
+
+import oracle
+from minbpe_tpu.ops import stream as st
+from minbpe_tpu.ops.train import train_merges
+from minbpe_tpu.ops.pallas.fused_train import train_merges_fused
+
+
+def _cmp(seqs, num_merges):
+    import jax.numpy as jnp
+    ids, seg, n = st.pack_chunks([bytes(s) for s in seqs])
+    args = (jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(n))
+    p1, c1, f1 = train_merges(*args, num_merges, select_mode="sort")
+    p2, c2, f2 = train_merges_fused(*args, num_merges, interpret=True)
+    assert int(f1) == int(f2)
+    k = int(f1) if int(f1) < num_merges else num_merges
+    assert (np.asarray(p1)[:k] == np.asarray(p2)[:k]).all()
+    assert (np.asarray(c1)[:k] == np.asarray(c2)[:k]).all()
+
+
+def test_wikipedia_toy():
+    _cmp([list(b"aaabdaaabac")], 3)
+
+
+def test_overlap_runs():
+    _cmp([[7] * 30, [7] * 5, [7, 8] * 9], 6)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random(seed):
+    rng = random.Random(300 + seed)
+    seqs = [
+        [rng.randint(0, 6) for _ in range(rng.randint(0, 50))]
+        for _ in range(rng.randint(1, 6))
+    ]
+    seqs.append([1, 2, 1, 2, 1, 1, 1, 2])
+    _cmp(seqs, rng.randint(1, 10))
+
+
+def test_corpus_slice():
+    text = open("/root/reference/tests/taylorswift.txt", "rb").read()[:16384]
+    _cmp([list(text)], 48)
+
+
+def test_failure_round():
+    _cmp([[1, 2]], 4)
