@@ -149,8 +149,19 @@ def run_train(ids, seg, n, num_merges: int, verbose: bool = False,
 
 def encode_packed(tokenizer, ids, seg, n) -> list[int]:
     """Encode a packed stream with the tokenizer's frozen merge table."""
+    import jax
+
     dev = device_table(tokenizer)
     if dev.kind == "dense":
+        from .ops.pallas.fused_encode import (
+            encode_fused, FUSED_ENCODE_MAX_N, FUSED_ENCODE_MAX_M,
+        )
+
+        M = int(dev.merge_ids.shape[0])
+        if (jax.default_backend() == "tpu" and M <= FUSED_ENCODE_MAX_M
+                and ids.shape[0] <= FUSED_ENCODE_MAX_N):
+            out = encode_fused(ids, seg, n, dev.merge_pairs, dev.merge_ids)
+            return out.tolist()
         out_ids, out_n = encode_stream_stepped(
             jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(n),
             dev.rank_table, dev.merge_pairs, dev.merge_ids,
