@@ -43,9 +43,27 @@ def _pad_rows(c: int) -> int:
     return r
 
 
-@partial(jax.jit, static_argnames=("depth",))
-def _encode_block(ids, lens, ka, kb, rank, merge_pairs, merge_ids, depth: int):
-    """One bucket: ids[C, L] int32 (PAD past lens), lens[C] -> merged rows."""
+def _encode_block(ids, lens, ka, kb, rank, merge_pairs, merge_ids, depth: int,
+                  unroll: int = 8):
+    """One bucket: ids[C, L] int32 (PAD past lens), lens[C] -> merged rows.
+
+    Host-stepped: dispatches ``unroll`` per-row min-rank iterations at a time
+    and checks the done flag between dispatches (device-side loop iterations
+    are expensive on remotely-tunneled backends)."""
+    done = jnp.bool_(False)
+    while True:
+        ids, lens, done = _encode_block_step(
+            ids, lens, done, ka, kb, rank, merge_pairs, merge_ids, depth,
+            unroll,
+        )
+        if bool(done):
+            return ids, lens
+
+
+@partial(jax.jit, static_argnames=("depth", "unroll"),
+         donate_argnums=(0, 1, 2))
+def _encode_block_step(ids, lens, done, ka, kb, rank, merge_pairs, merge_ids,
+                       depth: int, unroll: int):
     C, L = ids.shape
     M = ka.shape[0]
     pos = jax.lax.broadcasted_iota(jnp.int32, (C, L), 1)
@@ -67,10 +85,6 @@ def _encode_block(ids, lens, ka, kb, rank, merge_pairs, merge_ids, depth: int):
         nxt = jnp.roll(ids, -1, axis=1)
         valid = pos + 1 < lens[:, None]
         return lookup(ids, nxt, valid)
-
-    def cond(state):
-        _, _, done = state
-        return ~done
 
     def body(state):
         ids, lens, _ = state
@@ -106,9 +120,10 @@ def _encode_block(ids, lens, ka, kb, rank, merge_pairs, merge_ids, depth: int):
 
         return jax.lax.cond(any_active, run, stop, None)
 
-    state = (ids, lens, jnp.bool_(False))
-    ids, lens, _ = jax.lax.while_loop(cond, body, state)
-    return ids, lens
+    state = (ids, lens, done)
+    for _ in range(unroll):
+        state = body(state)
+    return state
 
 
 def encode_offsets(data: np.ndarray, ends: np.ndarray,

@@ -45,6 +45,50 @@ def test_regex_train_and_encode_parity(slice_text):
     assert ref.encode(slice_text) == ours.encode(slice_text)
 
 
+def test_model_and_vocab_files_byte_identical(slice_text, tmp_path):
+    """save() must produce byte-identical .model AND .vocab files to the
+    reference for the same trained state (format: minbpe/base.py:97-138)."""
+    from minbpe import RegexTokenizer as RefRegex
+    from minbpe_tpu import RegexTokenizer
+
+    ref = RefRegex()
+    ref.train(slice_text, 300)
+    ref.register_special_tokens({"<|endoftext|>": 300, "<|fim_prefix|>": 301})
+    ours = RegexTokenizer()
+    ours.train(slice_text, 300)
+    ours.register_special_tokens({"<|endoftext|>": 300, "<|fim_prefix|>": 301})
+
+    ref.save(str(tmp_path / "ref"))
+    ours.save(str(tmp_path / "ours"))
+    for ext in (".model", ".vocab"):
+        a = (tmp_path / ("ref" + ext)).read_bytes()
+        b = (tmp_path / ("ours" + ext)).read_bytes()
+        assert a == b, f"{ext} differs"
+
+    # cross-load: the reference can load our model file and vice versa
+    theirs = RefRegex()
+    theirs.load(str(tmp_path / "ours.model"))
+    assert theirs.merges == ours.merges
+    back = RegexTokenizer()
+    back.load(str(tmp_path / "ref.model"))
+    assert back.merges == ref.merges
+
+
+def test_verbose_output_identical(slice_text, capsys):
+    """verbose training prints the reference's exact lines
+    (minbpe/regex.py:65-66)."""
+    from minbpe import RegexTokenizer as RefRegex
+    from minbpe_tpu import RegexTokenizer
+
+    ref = RefRegex()
+    ref.train(slice_text[:2000], 280, verbose=True)
+    ref_out = capsys.readouterr().out
+    ours = RegexTokenizer()
+    ours.train(slice_text[:2000], 280, verbose=True)
+    our_out = capsys.readouterr().out
+    assert our_out == ref_out
+
+
 def test_gpt2_pattern_parity(slice_text):
     from minbpe import RegexTokenizer as RefRegex
     from minbpe_tpu import RegexTokenizer, GPT2_SPLIT_PATTERN
