@@ -1,0 +1,72 @@
+"""Scaling harness: distributed training throughput at 1..D shards.
+
+On real multi-chip hardware this measures strong-scaling efficiency of the
+data-parallel training path; on a single-chip or CPU host it still validates
+the full sharded program (virtual devices) and reports per-mesh-size wall
+times. Prints one JSON line per mesh size to stdout.
+
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+        python bench_scaling.py --vocab-size 512
+"""
+
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", default="/root/reference/tests/taylorswift.txt")
+    ap.add_argument("--vocab-size", type=int, default=512)
+    ap.add_argument("--mesh-sizes", default=None,
+                    help="comma-separated; default 1,2,4,...,num_devices")
+    args = ap.parse_args()
+
+    import jax
+    from minbpe_tpu import RegexTokenizer
+    from minbpe_tpu.parallel.train import make_mesh, train_chunks_distributed
+
+    text = open(args.corpus, encoding="utf-8").read()
+    mb = len(text.encode("utf-8")) / 1e6
+    num_merges = args.vocab_size - 256
+    chunks = RegexTokenizer()._split_chunks(text)
+
+    ndev = len(jax.devices())
+    if args.mesh_sizes:
+        sizes = [int(s) for s in args.mesh_sizes.split(",")]
+    else:
+        sizes = [d for d in (1, 2, 4, 8, 16, 32) if d <= ndev]
+
+    base = None
+    reference = None
+    for d in sizes:
+        mesh = make_mesh(d)
+        # compile + warm
+        t0 = time.time()
+        merges, _ = train_chunks_distributed(chunks, num_merges, mesh)
+        warm = time.time() - t0
+        t0 = time.time()
+        merges2, _ = train_chunks_distributed(chunks, num_merges, mesh)
+        dt = time.time() - t0
+        if reference is None:
+            reference = merges
+        assert merges2 == reference, "sharded results diverged"
+        if base is None:
+            base = dt
+        eff = base / (dt * d)
+        print(json.dumps({
+            "metric": "distributed_train_MBps",
+            "mesh": d,
+            "value": round(mb / dt, 4),
+            "unit": "MB/s",
+            "seconds": round(dt, 3),
+            "warm_seconds": round(warm, 2),
+            "scaling_efficiency_vs_1": round(eff, 3),
+        }), flush=True)
+        print(f"mesh={d}: {dt:.3f}s ({mb/dt:.3f} MB/s), eff={eff:.2f}",
+              file=sys.stderr, flush=True)
+
+
+if __name__ == "__main__":
+    main()
