@@ -104,9 +104,20 @@ def run_train(ids, seg, n, num_merges: int, verbose: bool = False,
         if select_mode == "fused":
             from .ops.pallas.fused_train import train_merges_fused
 
-            pairs, counts, fail_round = train_merges_fused(
-                jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(n), num_merges
-            )
+            try:
+                pairs, counts, fail_round = train_merges_fused(
+                    jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(n),
+                    num_merges
+                )
+                select_mode = "done"
+            except Exception as e:  # kernel compile/runtime issue: fall back
+                import sys
+
+                print(f"minbpe_tpu: fused trainer unavailable ({e!r:.200}); "
+                      "falling back to stepped", file=sys.stderr)
+                select_mode = "stepped"
+        if select_mode == "done":
+            pass
         elif select_mode == "stepped":
             pairs, counts, fail_round = train_merges_stepped(
                 ids, seg, n, num_merges,

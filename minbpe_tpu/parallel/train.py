@@ -12,10 +12,12 @@ TPU-native scaling design it lacks:
   bit-identical to the single-device sort-based path and to the reference;
 - merge application + compaction happen shard-locally.
 
-Selection here uses a dense [V, V] count/min-position matrix per shard (exact;
-out-of-bounds scatters drop invalid pairs). Dense is the right call up to
-vocab ~8K; the 100K-vocab sharded-keyspace design is documented in
-parallel/README.md and slated for the sparse path.
+Two exact selection implementations (selection="dense"|"sparse"):
+- dense: psum'd [V, V] count/min-position matrices — right up to vocab ~8K;
+- sparse: sorted per-shard distinct-pair run summaries merged across shards
+  via all_gather — no V^2 memory anywhere, exact at 100K+ vocab, with loud
+  (never silent) per-shard capacity overflow detection.
+See parallel/README.md for the scaling analysis.
 
 Global first-occurrence positions are ``shard_index * shard_capacity +
 local_index`` — a strictly monotone relabeling of the concatenated corpus
@@ -106,6 +108,15 @@ def _local_pair_stats(ids, seg, n, gpos_base, V, halo_id, halo_seg, halo_ok):
     return counts, minpos
 
 
+def _varying(x):
+    """Mark a per-shard-computed value as varying over the data axis
+    (idempotent: no-op when it already is)."""
+    try:
+        return jax.lax.pcast(x, ("data",), to="varying")
+    except ValueError:
+        return x
+
+
 def _halo_exchange(ids, seg, n, n_shards):
     """Each shard receives the first token of the nearest NON-EMPTY shard to
     its right (multi-hop 1-token halo, exact even across empty shards)."""
@@ -158,8 +169,95 @@ def _extended_keep(ids, seg, n, pa, pb, halo_id, halo_seg, halo_ok):
     return keep0, keep1, co0, co1
 
 
+def _local_run_summaries(ids, seg, n, gpos_base, K, halo_id, halo_seg,
+                         halo_ok):
+    """Per-shard distinct-pair summaries for the sparse (large-vocab)
+    selection: sorted-run compaction of local pairs (incl. the boundary
+    pair) into fixed (K,) arrays of (pa, pb, count, minpos).
+
+    Returns (pa, pb, cnt, pos, overflow): entries past the distinct-pair
+    count hold INT32_MAX sentinels; overflow flags n_runs > K.
+    """
+    Nl = ids.shape[0]
+    idx = jnp.arange(Nl, dtype=jnp.int32)
+    nxt_ids = jnp.roll(ids, -1)
+    nxt_seg = jnp.roll(seg, -1)
+    valid = (idx + 1 < n) & (seg == nxt_seg)
+    lastpos = jnp.maximum(n - 1, 0)
+    bvalid = halo_ok & (n > 0) & (seg[lastpos] == halo_seg)
+
+    ka = jnp.concatenate([
+        jnp.where(valid, ids, INT32_MAX),
+        jnp.where(bvalid, ids[lastpos], INT32_MAX)[None],
+    ])
+    kb = jnp.concatenate([
+        jnp.where(valid, nxt_ids, INT32_MAX),
+        jnp.where(bvalid, halo_id, INT32_MAX)[None],
+    ])
+    pos = jnp.concatenate([gpos_base + idx, (gpos_base + lastpos)[None]])
+    NE = Nl + 1
+    sa, sb, sp = jax.lax.sort((ka, kb, pos), num_keys=3, is_stable=False)
+
+    j = jnp.arange(NE, dtype=jnp.int32)
+    prev_sa = jnp.roll(sa, 1).at[0].set(-2)
+    prev_sb = jnp.roll(sb, 1).at[0].set(-2)
+    head = ((sa != prev_sa) | (sb != prev_sb)) & (sa != INT32_MAX)
+    marker = jnp.where(head | (sa == INT32_MAX), j, NE)
+    next_start = jnp.roll(jax.lax.cummin(marker, reverse=True), -1)
+    next_start = next_start.at[NE - 1].set(NE)
+    run_len = jnp.where(head, next_start - j, 0)
+
+    # compact run heads into (K,) slots
+    hcount = jnp.cumsum(head.astype(jnp.int32))
+    n_runs = hcount[NE - 1]
+    g = jnp.searchsorted(hcount, jnp.arange(1, K + 1, dtype=jnp.int32),
+                         side="left")
+    g = jnp.minimum(g, NE - 1)
+    slot = jnp.arange(K, dtype=jnp.int32)
+    have = slot < n_runs
+    return (
+        jnp.where(have, sa[g], INT32_MAX),
+        jnp.where(have, sb[g], INT32_MAX),
+        jnp.where(have, run_len[g], 0),
+        jnp.where(have, sp[g], INT32_MAX),
+        n_runs > K,
+    )
+
+
+def _sparse_global_select(lpa, lpb, lcnt, lpos, K, D):
+    """Merge per-shard run summaries into the exact global argmax pair."""
+    ga = jax.lax.all_gather(lpa, "data").reshape(-1)
+    gb = jax.lax.all_gather(lpb, "data").reshape(-1)
+    gc = jax.lax.all_gather(lcnt, "data").reshape(-1)
+    gp = jax.lax.all_gather(lpos, "data").reshape(-1)
+    T = D * K
+    sa, sb, sp, sc = jax.lax.sort((ga, gb, gp, gc), num_keys=3,
+                                  is_stable=False)
+    j = jnp.arange(T, dtype=jnp.int32)
+    prev_sa = jnp.roll(sa, 1).at[0].set(-2)
+    prev_sb = jnp.roll(sb, 1).at[0].set(-2)
+    head = ((sa != prev_sa) | (sb != prev_sb)) & (sa != INT32_MAX)
+    marker = jnp.where(head | (sa == INT32_MAX), j, T)
+    next_start = jnp.roll(jax.lax.cummin(marker, reverse=True), -1)
+    next_start = next_start.at[T - 1].set(T)
+    csum = jnp.cumsum(sc)
+    csum_prev = jnp.roll(csum, 1).at[0].set(0)
+    # total count of the run starting at j: csum[next_start-1] - csum[j-1]
+    total = jnp.where(
+        head,
+        csum[jnp.maximum(next_start - 1, 0)] - csum_prev,
+        0,
+    )
+    maxc = jnp.max(total)
+    tied = head & (total == maxc)
+    best_pos = jnp.min(jnp.where(tied, sp, INT32_MAX))
+    best_j = jnp.argmax(tied & (sp == best_pos))
+    return sa[best_j], sb[best_j], maxc, maxc > 0
+
+
 def build_distributed_train(mesh: Mesh, num_merges: int, vocab_size: int,
-                            shard_capacity: int):
+                            shard_capacity: int, selection: str = "dense",
+                            sparse_cap: int | None = None):
     """Returns a jitted fn: (ids[D*Nl], seg[D*Nl], lens[D]) ->
     (pairs[M,2], counts[M], fail_round).
 
@@ -168,11 +266,19 @@ def build_distributed_train(mesh: Mesh, num_merges: int, vocab_size: int,
     and merged with globally-correct left-first parity via a per-round
     2-state carry scan across shards; empty shards are handled by the
     multi-hop halo + identity carry transfer.
+
+    selection:
+      "dense"  — psum'd [V, V] count/min-position matrices (vocab <= ~8K);
+      "sparse" — sorted per-shard run summaries merged via all_gather
+                 (any vocab size; no V^2 memory anywhere). sparse_cap bounds
+                 distinct pairs per shard (default min(Nl+1, 1<<17));
+                 overflow is detected and raised host-side, never silent.
     """
     V = vocab_size
     M = num_merges
     Nl = shard_capacity
     D = mesh.devices.size
+    K = sparse_cap if sparse_cap is not None else min(Nl + 1, 1 << 17)
 
     def shard_body(ids, seg, lens):
         # local views: ids, seg: [Nl]; lens: [1]
@@ -185,19 +291,31 @@ def build_distributed_train(mesh: Mesh, num_merges: int, vocab_size: int,
         counts0 = jnp.zeros((M,), jnp.int32)
 
         def body(i, state):
-            ids, seg, n, pairs, counts, fail = state
+            ids, seg, n, pairs, counts, fail, oflow = state
             halo_id, halo_seg, halo_ok = _halo_exchange(ids, seg, n, D)
-            lc, lp = _local_pair_stats(
-                ids, seg, n, gpos_base, V, halo_id, halo_seg, halo_ok
-            )
-            gc = jax.lax.psum(lc, "data")
-            gp = jax.lax.pmin(lp, "data")
-            maxc = jnp.max(gc)
-            tied = gc == maxc
-            best_pos = jnp.min(jnp.where(tied, gp, INT32_MAX))
-            flat = jnp.argmax((tied & (gp == best_pos)).reshape(-1))
-            pa = (flat // V).astype(jnp.int32)
-            pb = (flat % V).astype(jnp.int32)
+            if selection == "sparse":
+                lpa, lpb, lcnt, lpos, of = _local_run_summaries(
+                    ids, seg, n, gpos_base, K, halo_id, halo_seg, halo_ok
+                )
+                oflow = oflow | (jax.lax.psum(of.astype(jnp.int32), "data")
+                                 > 0)
+                pa, pb, maxc, any_pair = _sparse_global_select(
+                    lpa, lpb, lcnt, lpos, K, D
+                )
+            else:
+                lc, lp = _local_pair_stats(
+                    ids, seg, n, gpos_base, V, halo_id, halo_seg, halo_ok
+                )
+                gc = jax.lax.psum(lc, "data")
+                gp = jax.lax.pmin(lp, "data")
+                maxc = jnp.max(gc)
+                tied = gc == maxc
+                best_pos = jnp.min(jnp.where(tied, gp, INT32_MAX))
+                flat = jnp.argmax((tied & (gp == best_pos)).reshape(-1))
+                pa = (flat // V).astype(jnp.int32)
+                pb = (flat % V).astype(jnp.int32)
+            # normalize VMA typing across selection implementations
+            pa, pb, maxc = _varying(pa), _varying(pb), _varying(maxc)
             ok = (maxc > 0) & (fail >= i)
 
             def do(_):
@@ -227,28 +345,31 @@ def build_distributed_train(mesh: Mesh, num_merges: int, vocab_size: int,
                 out_ids, out_seg, new_n = compact(new_ids, seg, live)
                 return (out_ids, out_seg, new_n,
                         pairs.at[i, 0].set(pa).at[i, 1].set(pb),
-                        counts.at[i].set(maxc), fail)
+                        counts.at[i].set(maxc), fail, oflow)
 
             def skip(_):
                 return (ids, seg, n, pairs, counts,
-                        jnp.minimum(fail, jnp.where(maxc > 0, fail, i)))
+                        jnp.minimum(fail, jnp.where(maxc > 0, fail, i)),
+                        oflow)
 
             return jax.lax.cond(ok, do, skip, None)
 
-        state = (ids, seg, n, pairs0, counts0, jnp.int32(M))
-        ids, seg, n, pairs, counts, fail = jax.lax.fori_loop(0, M, body, state)
-        return pairs[None], counts[None], fail[None]
+        state = (ids, seg, n, _varying(pairs0), _varying(counts0),
+                 _varying(jnp.int32(M)), _varying(jnp.bool_(False)))
+        ids, seg, n, pairs, counts, fail, oflow = jax.lax.fori_loop(
+            0, M, body, state)
+        return pairs[None], counts[None], fail[None], oflow[None]
 
     mapped = shard_map(
         shard_body, mesh=mesh,
         in_specs=(P("data"), P("data"), P("data")),
-        out_specs=(P("data"), P("data"), P("data")),
+        out_specs=(P("data"), P("data"), P("data"), P("data")),
     )
 
     def train(ids, seg, lens):
-        pairs, counts, fail = mapped(ids, seg, lens)
+        pairs, counts, fail, oflow = mapped(ids, seg, lens)
         # every shard computed identical values; take shard 0's copy
-        return pairs[0], counts[0], jnp.max(fail)
+        return pairs[0], counts[0], jnp.max(fail), jnp.max(oflow)
 
     return jax.jit(train)
 
@@ -271,9 +392,14 @@ def shard_bytes(data: bytes, n_shards: int):
     return ids.reshape(-1), seg.reshape(-1), lens
 
 
-def _finish_train(pairs, counts, fail, num_merges, verbose):
+def _finish_train(pairs, counts, fail, num_merges, verbose, oflow=False):
     pairs = np.asarray(pairs)
     counts = np.asarray(counts)
+    if int(oflow):
+        raise RuntimeError(
+            "sparse selection overflow: a shard exceeded its distinct-pair "
+            "capacity; raise sparse_cap"
+        )
     if int(fail) < num_merges:
         raise ValueError(
             f"no mergeable pair available at merge round {int(fail)}"
@@ -300,12 +426,15 @@ def train_bytes_distributed(data: bytes, num_merges: int,
     ids, seg, lens = shard_bytes(data, D)
     Nl = ids.shape[0] // D
     fn = build_distributed_train(mesh, num_merges, 256 + num_merges, Nl)
-    out = fn(jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(lens))
-    return _finish_train(*out, num_merges, verbose)
+    pairs, counts, fail, oflow = fn(
+        jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(lens)
+    )
+    return _finish_train(pairs, counts, fail, num_merges, verbose, oflow)
 
 
 def train_chunks_distributed(chunks: list[bytes], num_merges: int,
-                             mesh: Mesh | None = None, verbose: bool = False):
+                             mesh: Mesh | None = None, verbose: bool = False,
+                             selection: str = "dense"):
     """Host entry: shard chunks over the mesh and run distributed training.
 
     Returns (merges dict, vocab dict) with reference-identical contents.
@@ -315,8 +444,9 @@ def train_chunks_distributed(chunks: list[bytes], num_merges: int,
     ids, seg, lens = shard_chunks(chunks, D)
     Nl = ids.shape[0] // D
     V = 256 + num_merges
-    fn = build_distributed_train(mesh, num_merges, V, Nl)
-    pairs, counts, fail = fn(
+    fn = build_distributed_train(mesh, num_merges, V, Nl,
+                                 selection=selection)
+    pairs, counts, fail, oflow = fn(
         jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(lens)
     )
-    return _finish_train(pairs, counts, fail, num_merges, verbose)
+    return _finish_train(pairs, counts, fail, num_merges, verbose, oflow)

@@ -94,6 +94,49 @@ class TestBasicHalo:
         assert merges == single.merges
 
 
+class TestSparseSelection:
+    """Sorted-run sparse selection (the any-vocab path): bit-identical to
+    dense selection and the oracle."""
+
+    @pytest.mark.parametrize("seed", range(5))
+    def test_matches_dense(self, seed):
+        rng = random.Random(2000 + seed)
+        chunks = [
+            bytes(rng.randint(97, 106) for _ in range(rng.randint(1, 30)))
+            for _ in range(rng.randint(3, 40))
+        ]
+        num_merges = rng.randint(2, 10)
+        mesh = make_mesh(8)
+        try:
+            dense, _ = train_chunks_distributed(chunks, num_merges, mesh)
+        except ValueError:
+            with pytest.raises(ValueError):
+                train_chunks_distributed(chunks, num_merges, mesh,
+                                         selection="sparse")
+            return
+        sparse, _ = train_chunks_distributed(chunks, num_merges, mesh,
+                                             selection="sparse")
+        assert sparse == dense
+
+    def test_overflow_detected(self):
+        from minbpe_tpu.parallel.train import (
+            build_distributed_train, shard_chunks,
+        )
+        import jax.numpy as jnp
+
+        rng = random.Random(1)
+        chunks = [bytes(rng.randint(0, 255) for _ in range(64))
+                  for _ in range(16)]
+        mesh = make_mesh(8)
+        ids, seg, lens = shard_chunks(chunks, 8)
+        Nl = ids.shape[0] // 8
+        fn = build_distributed_train(mesh, 2, 258, Nl, selection="sparse",
+                                     sparse_cap=4)  # absurdly small
+        _, _, _, oflow = fn(jnp.asarray(ids), jnp.asarray(seg),
+                            jnp.asarray(lens))
+        assert int(oflow) == 1
+
+
 def test_shard_chunks_layout():
     chunks = [b"abc", b"de", b"f", b"ghij", b"kl"]
     ids, seg, lens = shard_chunks(chunks, 4)
