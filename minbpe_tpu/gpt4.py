@@ -167,6 +167,29 @@ class GPT4Tokenizer(RegexTokenizer):
     def __init__(self):
         super().__init__(pattern=GPT4_SPLIT_PATTERN)
         pairs, new_ids, byte_shuffle = _load_recovered(_find_rank_file())
+        self._init_pretrained(pairs, new_ids, byte_shuffle,
+                              GPT4_SPECIAL_TOKENS)
+
+    @classmethod
+    def from_mergeable_ranks(cls, mergeable_ranks: dict[bytes, int],
+                             special_tokens: dict[str, int] | None = None):
+        """Build a tokenizer from any tiktoken-style ranks dict (token bytes
+        -> rank), recovering the merge forest and byte shuffle — the general
+        form of what __init__ does for cl100k_base."""
+        self = cls.__new__(cls)
+        RegexTokenizer.__init__(self, pattern=GPT4_SPLIT_PATTERN)
+        merges = recover_merge_forest(mergeable_ranks)
+        items = sorted(merges.items(), key=lambda kv: kv[1])
+        pairs = np.array([[a, b] for (a, b), _ in items], dtype=np.int32)
+        new_ids = np.array([r for _, r in items], dtype=np.int32)
+        byte_shuffle = np.array(
+            [mergeable_ranks[bytes([i])] for i in range(256)], dtype=np.uint8
+        )
+        self._init_pretrained(pairs, new_ids, byte_shuffle,
+                              special_tokens or {})
+        return self
+
+    def _init_pretrained(self, pairs, new_ids, byte_shuffle, special_tokens):
         self.merges = {
             (int(a), int(b)): int(r)
             for (a, b), r in zip(pairs, new_ids)
@@ -175,9 +198,11 @@ class GPT4Tokenizer(RegexTokenizer):
         for (p0, p1), idx in self.merges.items():
             vocab[idx] = vocab[p0] + vocab[p1]
         self.vocab = vocab  # lives in shuffled-byte space (minbpe/gpt4.py:68-71)
-        self.byte_shuffle = byte_shuffle  # uint8[256]: raw byte -> rank of byte
-        self.inverse_byte_shuffle = np.argsort(byte_shuffle).astype(np.uint8)
-        self.register_special_tokens(GPT4_SPECIAL_TOKENS)
+        self.byte_shuffle = np.asarray(byte_shuffle, dtype=np.uint8)
+        self.inverse_byte_shuffle = np.argsort(self.byte_shuffle).astype(
+            np.uint8
+        )
+        self.register_special_tokens(dict(special_tokens))
         self._invalidate_device_state()
 
     def _transform_chunk_bytes(self, chunk: bytes) -> bytes:

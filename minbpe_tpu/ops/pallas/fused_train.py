@@ -206,16 +206,23 @@ def _kernel(ids_in, seg_in, live_in, out_ref, ids_ref, seg_ref, live_ref,
         pltpu.make_async_copy(src, dst, dma_sems.at[k]).wait()
 
     flat_iota = _row_iota(R) * C + _lane_iota(R)
-    viota = jax.lax.broadcasted_iota(jnp.int32, (C, V), 1)
+    GROUP = 4  # column-groups per matmul: contraction = GROUP * C = 512
+    GC = GROUP * C
+    viota_g = jax.lax.broadcasted_iota(jnp.int32, (GC, V), 1)
     tcol_iota = jax.lax.broadcasted_iota(jnp.int32, (C, TILE_ROWS), 1)
     n_tiles = R // TILE_ROWS
 
-    def one_hot_col(tt, r):
-        """tt: transposed (C, TILE_ROWS) tile; extract column r (the 128
-        consecutive stream elements, on sublanes) by masked reduce (no
-        dynamic value slicing in Mosaic) -> (C, V) bf16 one-hot."""
-        col = jnp.sum(jnp.where(tcol_iota == r, tt, 0), axis=1, keepdims=True)
-        return (col == viota).astype(jnp.bfloat16)
+    def one_hot_group(tt, r):
+        """tt: transposed (C, TILE_ROWS) tile; stack columns r..r+GROUP-1
+        (GROUP*C consecutive stream elements, on sublanes) by masked reduces
+        (no dynamic value slicing in Mosaic) -> (GROUP*C, V) bf16 one-hot."""
+        cols = [
+            jnp.sum(jnp.where(tcol_iota == r + g, tt, 0), axis=1,
+                    keepdims=True)
+            for g in range(GROUP)
+        ]
+        col = jnp.concatenate(cols, axis=0)  # (GROUP*C, 1), flat order
+        return (col == viota_g).astype(jnp.bfloat16)
 
     def count_matrix():
         """counts[x, y] = #positions with (a, b) == (x, y); -1 entries skip."""
@@ -225,15 +232,15 @@ def _kernel(ids_in, seg_in, live_in, out_ref, ids_ref, seg_ref, live_ref,
             at = a_ref[pl.ds(t * TILE_ROWS, TILE_ROWS), :].T
             bt = b_ref[pl.ds(t * TILE_ROWS, TILE_ROWS), :].T
 
-            def row_body(r, acc):
-                A = one_hot_col(at, r)
-                B = one_hot_col(bt, r)
+            def grp_body(g, acc):
+                A = one_hot_group(at, g * GROUP)
+                B = one_hot_group(bt, g * GROUP)
                 return acc + jax.lax.dot_general(
                     A, B, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
 
-            return jax.lax.fori_loop(0, TILE_ROWS, row_body, acc)
+            return jax.lax.fori_loop(0, TILE_ROWS // GROUP, grp_body, acc)
 
         return jax.lax.fori_loop(0, n_tiles, tile_body, acc).astype(jnp.int32)
 
@@ -245,21 +252,21 @@ def _kernel(ids_in, seg_in, live_in, out_ref, ids_ref, seg_ref, live_ref,
             at = a_ref[pl.ds(t * TILE_ROWS, TILE_ROWS), :].T
             bt = b_ref[pl.ds(t * TILE_ROWS, TILE_ROWS), :].T
 
-            def row_body(r, best):
-                A = one_hot_col(at, r)
-                B = one_hot_col(bt, r)
+            def grp_body(g, best):
+                A = one_hot_group(at, g * GROUP)
+                B = one_hot_group(bt, g * GROUP)
                 sel = jax.lax.dot_general(
                     A, tied_f, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
                 hit = jnp.sum(sel * B.astype(jnp.float32), axis=1,
-                              keepdims=True)  # (C, 1)
-                base = (t * TILE_ROWS + r) * C
-                fidx = base + jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
+                              keepdims=True)  # (GC, 1)
+                base = (t * TILE_ROWS + g * GROUP) * C
+                fidx = base + jax.lax.broadcasted_iota(jnp.int32, (GC, 1), 0)
                 cand = jnp.min(jnp.where(hit > 0.5, fidx, INT32_MAX))
                 return jnp.minimum(best, cand)
 
-            return jax.lax.fori_loop(0, TILE_ROWS, row_body, best)
+            return jax.lax.fori_loop(0, TILE_ROWS // GROUP, grp_body, best)
 
         return jax.lax.fori_loop(0, n_tiles, tile_body, best)
 

@@ -109,3 +109,64 @@ class TestGPT4Recovery:
         ranks, merges = self._fake_mergeable_ranks(rng)
         recovered = recover_merge_forest(ranks)
         assert recovered == {pair: nid for pair, nid in merges}
+
+    @pytest.mark.parametrize("seed", range(3))
+    def test_full_tokenizer_from_ranks(self, seed):
+        """End-to-end GPT4-style tokenizer from synthetic ranks: byte-shuffled
+        encode must equal a tiktoken-style oracle; decode must round-trip."""
+        from minbpe_tpu.gpt4 import GPT4Tokenizer
+
+        rng = random.Random(700 + seed)
+        ranks, merges = self._fake_mergeable_ranks(rng)
+        tok = GPT4Tokenizer.from_mergeable_ranks(
+            ranks, {"<|endoftext|>": 400}
+        )
+
+        # oracle emulation of tiktoken: split per GPT-4 pattern, shuffle
+        # bytes, greedy min-rank merge
+        perm = {b: ranks[bytes([b])] for b in range(256)}
+        rank_table = {p: (r, nid) for r, (p, nid) in enumerate(merges)}
+        text = "".join(
+            chr(rng.randint(97, 105)) for _ in range(rng.randint(20, 200))
+        ) + " hello't world 123"
+        expected = []
+        for chunk in tok._split_chunks(text):
+            shuffled = [perm[b] for b in chunk]
+            expected.extend(oracle.encode(shuffled, rank_table))
+        got = tok.encode(text)
+        assert got == expected
+        assert tok.decode(got) == text
+        # specials path (encode side); note: like the reference
+        # (minbpe/gpt4.py:87-92), GPT4-style decode only handles vocab ids —
+        # special ids raise (the reference KeyErrors identically)
+        with_special = tok.encode("a<|endoftext|>b", allowed_special="all")
+        assert 400 in with_special
+        with pytest.raises(KeyError):
+            tok.decode(with_special)
+        no_special = [i for i in with_special if i != 400]
+        assert tok.decode(no_special) == "ab"
+
+    def test_save_vocab_from_ranks(self, tmp_path):
+        from minbpe_tpu.gpt4 import GPT4Tokenizer
+
+        rng = random.Random(900)
+        ranks, _ = self._fake_mergeable_ranks(rng)
+        tok = GPT4Tokenizer.from_mergeable_ranks(ranks)
+        out = tmp_path / "g.vocab"
+        tok.save_vocab(str(out))
+        lines = out.read_text(encoding="utf-8").splitlines()
+        assert len(lines) == 256 + 16  # bytes + merges
+        assert all("] " in ln for ln in lines)
+
+    def test_disabled_surface(self):
+        from minbpe_tpu.gpt4 import GPT4Tokenizer
+
+        rng = random.Random(901)
+        ranks, _ = self._fake_mergeable_ranks(rng)
+        tok = GPT4Tokenizer.from_mergeable_ranks(ranks)
+        with pytest.raises(NotImplementedError):
+            tok.train("x", 300)
+        with pytest.raises(NotImplementedError):
+            tok.save("x")
+        with pytest.raises(NotImplementedError):
+            tok.load("x.model")
