@@ -50,8 +50,10 @@ TILE_ROWS = 128  # rows per count-matmul tile (tile = 128x128 elements)
 INT32_MAX = 2**31 - 1
 
 # auto-mode limits: the working set (5 int32 planes + scan temporaries) must
-# fit the raised VMEM budget; larger runs use the stepped/sort/sharded paths
-FUSED_MAX_N = 1 << 21
+# fit VMEM (128 MB on v5e; ~380 MB of temporaries were measured at N=2^21,
+# so 2^19 leaves headroom). Larger runs use the stepped/sort/sharded paths;
+# engine.run_train also falls back automatically if the kernel fails.
+FUSED_MAX_N = 1 << 19
 FUSED_MAX_V = 1024
 
 
