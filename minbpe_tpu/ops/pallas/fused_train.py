@@ -29,7 +29,8 @@ Scans are two-level (in-row lane scans + cross-row scans). One-hot building
 slices columns of a transposed (128, 128) tile so the 128 elements of a row
 land on sublanes without per-row relayouts.
 
-Supported sizes: N <= ~1M tokens (VMEM), V <= 1024. Larger runs use the
+Supported sizes: N <= 2M tokens (128 MB VMEM; 8 persistent planes + bounded
+transients via the ref-mutating scans), V <= 1024. Larger runs use the
 stepped/sort paths (ops/train_inc.py, ops/train.py); multi-chip runs shard
 first (parallel/train.py).
 
@@ -50,10 +51,10 @@ TILE_ROWS = 128  # rows per count-matmul tile (tile = 128x128 elements)
 INT32_MAX = 2**31 - 1
 
 # auto-mode limits: the working set (5 int32 planes + scan temporaries) must
-# fit VMEM (128 MB on v5e; ~380 MB of temporaries were measured at N=2^21,
-# so 2^19 leaves headroom). Larger runs use the stepped/sort/sharded paths;
+# fit VMEM (128 MB on v5e): 8 persistent planes + bounded scan transients
+# (ref-mutating scans). Larger runs use the stepped/sort/sharded paths;
 # engine.run_train also falls back automatically if the kernel fails.
-FUSED_MAX_N = 1 << 19
+FUSED_MAX_N = 1 << 21
 FUSED_MAX_V = 1024
 
 
@@ -194,11 +195,112 @@ def _select_scan_rev_exclusive(ss, vs, fills):
 
 
 # ---------------------------------------------------------------------------
+# ref-mutating scan variants: same algorithms as above, but each doubling
+# step writes back to a scratch ref. This cuts SSA live ranges so the Mosaic
+# allocator keeps a handful of transient planes instead of the whole scan
+# history (the value-based forms needed ~380 MB of VMEM at N=2^21).
+# ---------------------------------------------------------------------------
+
+def _ref_shift_flat_fwd(ref, fill):
+    x = ref[:]
+    R = x.shape[0]
+    s = _shift_lanes(x, 1, fill)
+    carry = _shift_rows(x[:, C - 1:C], 1, fill)
+    ref[:] = jnp.where(_lane_iota(R) == 0, carry, s)
+
+
+def _ref_shift_flat_rev(ref, fill):
+    x = ref[:]
+    R = x.shape[0]
+    s = _shift_lanes_rev(x, 1, fill)
+    carry = _shift_rows_rev(x[:, 0:1], 1, fill)
+    ref[:] = jnp.where(_lane_iota(R) == C - 1, carry, s)
+
+
+def _ref_select_scan_fwd(s_ref, v_ref, fill, R):
+    """Inclusive forward select-scan, in place on (s_ref, v_ref)."""
+    k = 1
+    while k < C:
+        s = s_ref[:]
+        v = v_ref[:]
+        v_ref[:] = jnp.where(s == 1, v, _shift_lanes(v, k, fill))
+        s_ref[:] = s | _shift_lanes(s, k, 0)
+        k *= 2
+    rs = s_ref[:, C - 1:C]
+    rv = v_ref[:, C - 1:C]
+    k = 1
+    while k < R:
+        pv = _shift_rows(rv, k, fill)
+        rv = jnp.where(rs == 1, rv, pv)
+        rs = rs | _shift_rows(rs, k, 0)
+        k *= 2
+    prs = _shift_rows(rs, 1, 0)
+    prv = _shift_rows(rv, 1, fill)
+    s = s_ref[:]
+    v = v_ref[:]
+    v_ref[:] = jnp.where(s == 1, v, prv)
+    s_ref[:] = s | prs
+
+
+def _ref_select_scan_fwd_exclusive(s_ref, v_ref, fill, R):
+    _ref_shift_flat_fwd(s_ref, 0)
+    _ref_shift_flat_fwd(v_ref, fill)
+    _ref_select_scan_fwd(s_ref, v_ref, fill, R)
+
+
+def _ref_select_scan_rev_exclusive2(s_ref, v1_ref, v2_ref, f1, f2, R):
+    """Reverse exclusive select-scan over a flag + two value planes."""
+    _ref_shift_flat_rev(s_ref, 0)
+    _ref_shift_flat_rev(v1_ref, f1)
+    _ref_shift_flat_rev(v2_ref, f2)
+    k = 1
+    while k < C:
+        s = s_ref[:]
+        for ref, fill in ((v1_ref, f1), (v2_ref, f2)):
+            v = ref[:]
+            ref[:] = jnp.where(s == 1, v, _shift_lanes_rev(v, k, fill))
+        s_ref[:] = s | _shift_lanes_rev(s, k, 0)
+        k *= 2
+    rs = s_ref[:, 0:1]
+    rv1 = v1_ref[:, 0:1]
+    rv2 = v2_ref[:, 0:1]
+    k = 1
+    while k < R:
+        rv1 = jnp.where(rs == 1, rv1, _shift_rows_rev(rv1, k, f1))
+        rv2 = jnp.where(rs == 1, rv2, _shift_rows_rev(rv2, k, f2))
+        rs = rs | _shift_rows_rev(rs, k, 0)
+        k *= 2
+    prs = _shift_rows_rev(rs, 1, 0)
+    prv1 = _shift_rows_rev(rv1, 1, f1)
+    prv2 = _shift_rows_rev(rv2, 1, f2)
+    s = s_ref[:]
+    for ref, prv in ((v1_ref, prv1), (v2_ref, prv2)):
+        v = ref[:]
+        ref[:] = jnp.where(s == 1, v, prv)
+    s_ref[:] = s | prs
+
+
+def _ref_cumsum_flat(x_ref, R):
+    k = 1
+    while k < C:
+        x = x_ref[:]
+        x_ref[:] = x + _shift_lanes(x, k, 0)
+        k *= 2
+    totals = x_ref[:, C - 1:C]
+    k = 1
+    while k < R:
+        totals = totals + _shift_rows(totals, k, 0)
+        k *= 2
+    x_ref[:] = x_ref[:] + _shift_rows(totals, 1, 0)
+
+
+# ---------------------------------------------------------------------------
 # the kernel
 # ---------------------------------------------------------------------------
 
 def _kernel(ids_in, seg_in, live_in, out_ref, ids_ref, seg_ref, live_ref,
-            a_ref, b_ref, dma_sems, *, R: int, V: int, M: int):
+            a_ref, b_ref, s1_ref, s2_ref, s3_ref, dma_sems,
+            *, R: int, V: int, M: int):
     # inputs live in HBM; copy them into the VMEM working set
     for src, dst, k in ((ids_in, ids_ref, 0), (seg_in, seg_ref, 1),
                         (live_in, live_ref, 2)):
@@ -277,18 +379,15 @@ def _kernel(ids_in, seg_in, live_in, out_ref, ids_ref, seg_ref, live_ref,
         return jnp.max(jnp.where(flat_iota == flat_idx, arr, -2**31))
 
     def round_body(i, fail):
-        ids = ids_ref[:]
-        seg = seg_ref[:]
-        live = live_ref[:]
-
-        # next-live id/seg (reverse exclusive select-scan over live)
-        _, nli, nls = _select_scan_rev_exclusive(
-            live, (ids, seg), (-1, -2))
-        valid = (live == 1) & (nli >= 0) & (seg == nls)
-        a = jnp.where(valid, ids, -1)
-        b = jnp.where(valid, nli, -1)
-        a_ref[:] = a
-        b_ref[:] = b
+        # next-live id/seg: reverse exclusive select-scan, in place on
+        # scratch copies (s1 = live flags, s2 -> nli, s3 -> nls)
+        s1_ref[:] = live_ref[:]
+        s2_ref[:] = ids_ref[:]
+        s3_ref[:] = seg_ref[:]
+        _ref_select_scan_rev_exclusive2(s1_ref, s2_ref, s3_ref, -1, -2, R)
+        valid = (live_ref[:] == 1) & (s2_ref[:] >= 0) & (seg_ref[:] == s3_ref[:])
+        a_ref[:] = jnp.where(valid, ids_ref[:], -1)
+        b_ref[:] = jnp.where(valid, s2_ref[:], -1)
 
         counts = count_matrix()
         maxc = jnp.max(counts)
@@ -304,25 +403,37 @@ def _kernel(ids_in, seg_in, live_in, out_ref, ids_ref, seg_ref, live_ref,
 
         def pick_tied(_):
             fi = first_tied_index(tied.astype(jnp.bfloat16))
-            return masked_pick(a, fi), masked_pick(b, fi)
+            return masked_pick(a_ref[:], fi), masked_pick(b_ref[:], fi)
 
         pa, pb = jax.lax.cond(n_tied == 1, pick_unique, pick_tied, None)
         ok = (maxc > 0) & (fail >= i)
 
         def do(fail):
-            m = (valid & (ids == pa) & (b == pb)).astype(jnp.int32)
-            # previous live index's match flag
-            _, m_prv = _select_scan_fwd_exclusive(live, m, 0)
-            new_run = m * (1 - m_prv)
-            chainpos = _cumsum_flat(live)
-            _, cps = _select_scan_fwd(new_run, chainpos, 0)
-            keep = (m == 1) & (((chainpos - cps) & 1) == 0)
-            # previous live index's keep flag -> this token consumed
-            _, k_prv = _select_scan_fwd_exclusive(
-                live, keep.astype(jnp.int32), 0)
-            killed = k_prv == 1
-            ids_ref[:] = jnp.where(keep, jnp.int32(256) + i, ids)
-            live_ref[:] = jnp.where(killed, 0, live)
+            # match mask from the masked pair planes (pa, pb >= 0 always)
+            s1_ref[:] = ((a_ref[:] == pa) & (b_ref[:] == pb)).astype(jnp.int32)
+            # m_prv: previous live index's match flag
+            s2_ref[:] = live_ref[:]
+            s3_ref[:] = s1_ref[:]
+            _ref_select_scan_fwd_exclusive(s2_ref, s3_ref, 0, R)
+            # new_run -> s2 (flag garbage overwritten)
+            s2_ref[:] = s1_ref[:] * (1 - s3_ref[:])
+            # chainpos -> s3, backed up in b (b no longer needed)
+            s3_ref[:] = live_ref[:]
+            _ref_cumsum_flat(s3_ref, R)
+            b_ref[:] = s3_ref[:]
+            # cps: inclusive select-scan over (new_run, chainpos) -> s3
+            _ref_select_scan_fwd(s2_ref, s3_ref, 0, R)
+            # keep -> s1 (overwrites m; parity from chainpos backup)
+            s1_ref[:] = (
+                (s1_ref[:] == 1) & (((b_ref[:] - s3_ref[:]) & 1) == 0)
+            ).astype(jnp.int32)
+            # k_prv: previous live index's keep flag -> consumed tokens
+            s2_ref[:] = live_ref[:]
+            s3_ref[:] = s1_ref[:]
+            _ref_select_scan_fwd_exclusive(s2_ref, s3_ref, 0, R)
+            ids_ref[:] = jnp.where(s1_ref[:] == 1, jnp.int32(256) + i,
+                                   ids_ref[:])
+            live_ref[:] = jnp.where(s3_ref[:] == 1, 0, live_ref[:])
             # record the round
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
             row = jnp.where(lane == 0, pa,
@@ -371,6 +482,9 @@ def train_merges_fused(ids, seg, n, num_merges: int, interpret: bool = False):
             pltpu.VMEM((R, C), jnp.int32),  # live
             pltpu.VMEM((R, C), jnp.int32),  # a (masked left ids)
             pltpu.VMEM((R, C), jnp.int32),  # b (masked next-live ids)
+            pltpu.VMEM((R, C), jnp.int32),  # s1 (scan scratch)
+            pltpu.VMEM((R, C), jnp.int32),  # s2 (scan scratch)
+            pltpu.VMEM((R, C), jnp.int32),  # s3 (scan scratch)
             pltpu.SemaphoreType.DMA((3,)),
         ],
         compiler_params=pltpu.CompilerParams(
