@@ -13,8 +13,7 @@ import jax.numpy as jnp
 from .ops import stream as stream_ops
 from .ops.train import train_merges
 from .ops.encode import (
-    build_rank_table, encode_stream, encode_stream_sorted,
-    encode_stream_stepped,
+    build_rank_table, encode_stream_sorted, encode_stream_stepped,
 )
 from .ops.ranktab import SortedPairTable
 from .ops import chunk_encode

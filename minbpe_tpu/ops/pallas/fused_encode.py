@@ -27,8 +27,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fused_train import (
-    C, _row_iota, _lane_iota, _cumsum_flat, _select_scan_fwd,
-    _select_scan_fwd_exclusive, _select_scan_rev_exclusive,
+    C, _cumsum_flat, _select_scan_fwd, _select_scan_fwd_exclusive,
+    _select_scan_rev_exclusive,
 )
 
 FUSED_ENCODE_MAX_N = 1 << 21

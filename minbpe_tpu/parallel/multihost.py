@@ -15,7 +15,6 @@ Typical launch (one process per host, same script everywhere):
 
 from __future__ import annotations
 
-import numpy as np
 import jax
 
 from .train import (

@@ -26,8 +26,6 @@ order, so relative order (all the tie-break needs) is preserved.
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -11,9 +11,7 @@ import argparse
 import os
 import time
 
-from minbpe_tpu import (
-    BasicTokenizer, RegexTokenizer, GPT2_SPLIT_PATTERN, GPT4_SPLIT_PATTERN,
-)
+from minbpe_tpu import BasicTokenizer, RegexTokenizer, GPT2_SPLIT_PATTERN
 
 DEFAULT_CORPUS = "/root/reference/tests/taylorswift.txt"
 
