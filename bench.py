@@ -58,10 +58,16 @@ def main():
     text = open(CORPUS, encoding="utf-8").read()
     mb = len(text.encode("utf-8")) / 1e6
 
-    # warm-up / compile on a perturbed variant
+    # warm-up / compile on a perturbed variant + parity sanity (encode path
+    # compiles here too, so the timed section below is pure training)
     t0 = time.time()
-    RegexTokenizer().train(variant(text, 0), 512)
-    log(f"warmup (incl compile): {time.time()-t0:.2f}s")
+    wtok = RegexTokenizer()
+    wtok.train(variant(text, 0), 512)
+    log(f"warmup train (incl compile): {time.time()-t0:.2f}s")
+    t0 = time.time()
+    sample = text[:20000]
+    assert wtok.decode(wtok.encode(sample)) == sample
+    log(f"warmup encode/decode round-trip ok ({time.time()-t0:.2f}s)")
 
     # timed: real corpus + two fresh variants, all uncached
     times = []
@@ -77,7 +83,6 @@ def main():
             tok = tk
 
     # parity sanity on the real-corpus artifact
-    sample = text[:20000]
     assert tok.decode(tok.encode(sample)) == sample
     log(f"merges learned: {len(tok.merges)}; round-trip ok")
 

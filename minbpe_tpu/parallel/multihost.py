@@ -51,7 +51,7 @@ def train_chunks_global(chunks, num_merges, mesh=None, verbose=False):
     ids, seg, lens = shard_chunks(chunks, D)
     Nl = ids.shape[0] // D
     fn = build_distributed_train(mesh, num_merges, 256 + num_merges, Nl)
-    pairs, counts, fail = fn(
+    pairs, counts, fail, oflow = fn(
         jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(lens)
     )
-    return _finish_train(pairs, counts, fail, num_merges, verbose)
+    return _finish_train(pairs, counts, fail, num_merges, verbose, oflow)
