@@ -216,17 +216,41 @@ def encode_offsets(tokenizer, data, ends) -> list[int]:
     return encode_packed(tokenizer, ids, seg, n)
 
 
+def _train_capacity(n: int, num_merges: int, opts) -> int | None:
+    """Padded capacity for a training stream: fine-grained buckets when the
+    fused whole-training kernel will take it (its per-round cost scales with
+    the padded size, so power-of-two padding is up to 2x wasted work);
+    None = default power-of-two bucketing."""
+    import jax
+
+    from .ops.pallas.fused_train import (
+        FUSED_MAX_N, FUSED_MAX_V, fused_capacity,
+    )
+
+    if (opts.get("select_mode", "auto") in ("auto", "fused")
+            and jax.default_backend() == "tpu"
+            and 256 + num_merges <= FUSED_MAX_V and n <= FUSED_MAX_N
+            and opts.get("checkpoint_path") is None
+            and opts.get("resume_from") is None
+            and opts.get("progress") is None):
+        return fused_capacity(n)
+    return None
+
+
 def train_offsets(data, ends, num_merges: int, verbose: bool = False, **opts):
-    ids, seg, n = stream_ops.pack_offsets(data, ends)
+    cap = _train_capacity(int(data.shape[0]), num_merges, opts)
+    ids, seg, n = stream_ops.pack_offsets(data, ends, capacity=cap)
     return run_train(ids, seg, n, num_merges, verbose, **opts)
 
 
 def train_bytes(data: bytes, num_merges: int, verbose: bool = False, **opts):
-    ids, seg, n = stream_ops.pack_bytes(data)
+    cap = _train_capacity(len(data), num_merges, opts)
+    ids, seg, n = stream_ops.pack_bytes(data, capacity=cap)
     return run_train(ids, seg, n, num_merges, verbose, **opts)
 
 
 def train_chunks(chunks: list[bytes], num_merges: int, verbose: bool = False,
                  **opts):
-    ids, seg, n = stream_ops.pack_chunks(chunks)
+    cap = _train_capacity(sum(len(c) for c in chunks), num_merges, opts)
+    ids, seg, n = stream_ops.pack_chunks(chunks, capacity=cap)
     return run_train(ids, seg, n, num_merges, verbose, **opts)

@@ -57,6 +57,20 @@ INT32_MAX = 2**31 - 1
 FUSED_MAX_N = 1 << 21
 FUSED_MAX_V = 1024
 
+TILE_ELEMS = TILE_ROWS * C  # stream elements per count tile (16384)
+
+
+def fused_capacity(n: int) -> int:
+    """Padded capacity for a stream headed into the fused trainer.
+
+    Power-of-two bucketing wastes up to 2x kernel work (every row is scanned
+    and counted whether live or padding), so the fused path buckets at
+    1/8-octave granularity instead, floored at one tile: at most ~12.5%
+    padding overhead, at most 8 distinct compiled sizes per octave."""
+    p = 1 << max(n - 1, 1).bit_length()
+    gran = max(TILE_ELEMS, p // 8)
+    return max(TILE_ELEMS, -(-n // gran) * gran)
+
 
 # ---------------------------------------------------------------------------
 # blocked flat-order scans over (R, C) arrays
@@ -310,7 +324,7 @@ def _kernel(ids_in, seg_in, live_in, out_ref, ids_ref, seg_ref, live_ref,
         pltpu.make_async_copy(src, dst, dma_sems.at[k]).wait()
 
     flat_iota = _row_iota(R) * C + _lane_iota(R)
-    GROUP = 4  # column-groups per matmul: contraction = GROUP * C = 512
+    GROUP = 32  # column-groups per matmul: contraction = GROUP * C = 4096
     GC = GROUP * C
     viota_g = jax.lax.broadcasted_iota(jnp.int32, (GC, V), 1)
     tcol_iota = jax.lax.broadcasted_iota(jnp.int32, (C, TILE_ROWS), 1)
@@ -319,18 +333,20 @@ def _kernel(ids_in, seg_in, live_in, out_ref, ids_ref, seg_ref, live_ref,
     def one_hot_group(tt, r):
         """tt: transposed (C, TILE_ROWS) tile; stack columns r..r+GROUP-1
         (GROUP*C consecutive stream elements, on sublanes) by masked reduces
-        (no dynamic value slicing in Mosaic) -> (GROUP*C, V) bf16 one-hot."""
+        (no dynamic value slicing in Mosaic) -> (GROUP*C, V) int8 one-hot."""
         cols = [
             jnp.sum(jnp.where(tcol_iota == r + g, tt, 0), axis=1,
                     keepdims=True)
             for g in range(GROUP)
         ]
         col = jnp.concatenate(cols, axis=0)  # (GROUP*C, 1), flat order
-        return (col == viota_g).astype(jnp.bfloat16)
+        return (col == viota_g).astype(jnp.int8)
 
     def count_matrix():
-        """counts[x, y] = #positions with (a, b) == (x, y); -1 entries skip."""
-        acc = jnp.zeros((V, V), jnp.float32)
+        """counts[x, y] = #positions with (a, b) == (x, y); -1 entries skip.
+        int8 one-hots drive the MXU's double-rate int8 path; exact int32
+        accumulation (products are 0/1)."""
+        acc = jnp.zeros((V, V), jnp.int32)
 
         def tile_body(t, acc):
             at = a_ref[pl.ds(t * TILE_ROWS, TILE_ROWS), :].T
@@ -341,12 +357,12 @@ def _kernel(ids_in, seg_in, live_in, out_ref, ids_ref, seg_ref, live_ref,
                 B = one_hot_group(bt, g * GROUP)
                 return acc + jax.lax.dot_general(
                     A, B, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                    preferred_element_type=jnp.int32,
                 )
 
             return jax.lax.fori_loop(0, TILE_ROWS // GROUP, grp_body, acc)
 
-        return jax.lax.fori_loop(0, n_tiles, tile_body, acc).astype(jnp.int32)
+        return jax.lax.fori_loop(0, n_tiles, tile_body, acc)
 
     def first_tied_index(tied_f):
         """Smallest flat index whose (a, b) pair is in the tied set."""
@@ -361,13 +377,13 @@ def _kernel(ids_in, seg_in, live_in, out_ref, ids_ref, seg_ref, live_ref,
                 B = one_hot_group(bt, g * GROUP)
                 sel = jax.lax.dot_general(
                     A, tied_f, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                    preferred_element_type=jnp.int32,
                 )
-                hit = jnp.sum(sel * B.astype(jnp.float32), axis=1,
+                hit = jnp.sum(sel * B.astype(jnp.int32), axis=1,
                               keepdims=True)  # (GC, 1)
                 base = (t * TILE_ROWS + g * GROUP) * C
                 fidx = base + jax.lax.broadcasted_iota(jnp.int32, (GC, 1), 0)
-                cand = jnp.min(jnp.where(hit > 0.5, fidx, INT32_MAX))
+                cand = jnp.min(jnp.where(hit > 0, fidx, INT32_MAX))
                 return jnp.minimum(best, cand)
 
             return jax.lax.fori_loop(0, TILE_ROWS // GROUP, grp_body, best)
@@ -402,7 +418,7 @@ def _kernel(ids_in, seg_in, live_in, out_ref, ids_ref, seg_ref, live_ref,
             return flat // V, flat % V
 
         def pick_tied(_):
-            fi = first_tied_index(tied.astype(jnp.bfloat16))
+            fi = first_tied_index(tied.astype(jnp.int8))
             return masked_pick(a_ref[:], fi), masked_pick(b_ref[:], fi)
 
         pa, pb = jax.lax.cond(n_tied == 1, pick_unique, pick_tied, None)
