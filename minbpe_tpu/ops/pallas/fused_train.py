@@ -312,9 +312,10 @@ def _ref_cumsum_flat(x_ref, R):
 # the kernel
 # ---------------------------------------------------------------------------
 
-def _kernel(ids_in, seg_in, live_in, out_ref, ids_ref, seg_ref, live_ref,
+def _kernel(ids_in, seg_in, live_in, out_ref, ids_out, seg_out,
+            ids_ref, seg_ref, live_ref,
             a_ref, b_ref, s1_ref, s2_ref, s3_ref, dma_sems,
-            *, R: int, V: int, M: int):
+            *, R: int, V: int, M: int, r0: int):
     # inputs live in HBM; copy them into the VMEM working set
     for src, dst, k in ((ids_in, ids_ref, 0), (seg_in, seg_ref, 1),
                         (live_in, live_ref, 2)):
@@ -447,7 +448,7 @@ def _kernel(ids_in, seg_in, live_in, out_ref, ids_ref, seg_ref, live_ref,
             s2_ref[:] = live_ref[:]
             s3_ref[:] = s1_ref[:]
             _ref_select_scan_fwd_exclusive(s2_ref, s3_ref, 0, R)
-            ids_ref[:] = jnp.where(s1_ref[:] == 1, jnp.int32(256) + i,
+            ids_ref[:] = jnp.where(s1_ref[:] == 1, jnp.int32(256 + r0) + i,
                                    ids_ref[:])
             live_ref[:] = jnp.where(s3_ref[:] == 1, 0, live_ref[:])
             # record the round
@@ -468,30 +469,69 @@ def _kernel(ids_in, seg_in, live_in, out_ref, ids_ref, seg_ref, live_ref,
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
     out_ref[pl.ds(M, 1), :] = jnp.where(lane == 0, fail, 0)
 
+    # write the final stream state back to HBM (consumed tokens become -1 so
+    # the staged driver can compact without a separate live plane)
+    ids_ref[:] = jnp.where(live_ref[:] == 1, ids_ref[:], -1)
+    for src, dst, k in ((ids_ref, ids_out, 0), (seg_ref, seg_out, 1)):
+        pltpu.make_async_copy(src, dst, dma_sems.at[k]).start()
+    for src, dst, k in ((ids_ref, ids_out, 0), (seg_ref, seg_out, 1)):
+        pltpu.make_async_copy(src, dst, dma_sems.at[k]).wait()
 
-@functools.partial(jax.jit, static_argnames=("num_merges", "interpret"))
-def train_merges_fused(ids, seg, n, num_merges: int, interpret: bool = False):
-    """Whole-training-in-one-kernel driver. Same contract as
-    ops.train.train_merges: (pairs[M,2], counts[M], fail_round)."""
-    M = num_merges
-    V = 256 + M
+
+@functools.partial(jax.jit, static_argnames=("R",))
+def _prep_planes(ids, seg, n, R: int):
+    """Pad/reshape a flat packed stream into (R, C) working planes."""
     N = ids.shape[0]
-    R = -(-N // C)
-    R = -(-R // TILE_ROWS) * TILE_ROWS  # multiple of the tile height
     pad = R * C - N
-
     idx = jnp.arange(N, dtype=jnp.int32)
     live = (idx < n).astype(jnp.int32)
     ids2 = jnp.pad(ids, (0, pad), constant_values=-1).reshape(R, C)
     seg2 = jnp.pad(seg, (0, pad), constant_values=-2).reshape(R, C)
     live2 = jnp.pad(live, (0, pad)).reshape(R, C)
+    return ids2, seg2, live2
 
-    Mp = -(-(M + 1) // 8) * 8
-    out = pl.pallas_call(
-        functools.partial(_kernel, R=R, V=V, M=M),
-        out_shape=jax.ShapeDtypeStruct((Mp, C), jnp.int32),
+
+@functools.partial(jax.jit, static_argnames=("R2",))
+def _compact_planes(ids2, seg2, R2: int):
+    """Squeeze tombstones (-1 ids, written by the kernel's final state dump)
+    out of the stream, into fresh (R2, C) planes. A stable compaction: flat
+    order — and with it the reference's first-occurrence tie-break order — is
+    preserved. Runs as plain XLA (cumsum + scatter), not Pallas: it executes
+    once per 128-round segment, off the hot path."""
+    flat_ids = ids2.reshape(-1)
+    flat_seg = seg2.reshape(-1)
+    live = flat_ids >= 0
+    pos = jnp.cumsum(live.astype(jnp.int32)) - 1
+    cap = R2 * C
+    idx = jnp.where(live, pos, cap)  # dead slots scatter out of bounds
+    new_ids = jnp.full((cap,), -1, jnp.int32).at[idx].set(
+        flat_ids, mode="drop")
+    new_seg = jnp.full((cap,), -2, jnp.int32).at[idx].set(
+        flat_seg, mode="drop")
+    n_live = pos[-1] + 1
+    new_live = (jnp.arange(cap, dtype=jnp.int32) < n_live).astype(jnp.int32)
+    return (new_ids.reshape(R2, C), new_seg.reshape(R2, C),
+            new_live.reshape(R2, C))
+
+
+@functools.partial(jax.jit, static_argnames=("R", "V", "m", "r0", "interpret"))
+def _run_segment(ids2, seg2, live2, R: int, V: int, m: int, r0: int,
+                 interpret: bool = False):
+    """One kernel launch covering merge rounds [r0, r0 + m)."""
+    Mp = -(-(m + 1) // 8) * 8
+    out, ids_out, seg_out = pl.pallas_call(
+        functools.partial(_kernel, R=R, V=V, M=m, r0=r0),
+        out_shape=[
+            jax.ShapeDtypeStruct((Mp, C), jnp.int32),
+            jax.ShapeDtypeStruct((R, C), jnp.int32),
+            jax.ShapeDtypeStruct((R, C), jnp.int32),
+        ],
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
         scratch_shapes=[
             pltpu.VMEM((R, C), jnp.int32),  # ids
             pltpu.VMEM((R, C), jnp.int32),  # seg
@@ -508,8 +548,72 @@ def train_merges_fused(ids, seg, n, num_merges: int, interpret: bool = False):
         ),
         interpret=interpret,
     )(ids2, seg2, live2)
+    return out, ids_out, seg_out
 
-    pairs = out[:M, 0:2]
-    counts = out[:M, 2]
-    fail = out[M, 0]
+
+# merge rounds per kernel launch in the staged path. Segment k counts with
+# matrix width V_k = 256 + 128(k+1) instead of the final V, and the stream is
+# compacted between segments — both costs scale with live x V^2, and the live
+# count shrinks monotonically (each merge round kills `count` tokens).
+SEG_ROUNDS = 128
+
+
+def _rows_for(n: int) -> int:
+    R = -(-n // C)
+    return -(-R // TILE_ROWS) * TILE_ROWS
+
+
+def train_merges_fused(ids, seg, n, num_merges: int, interpret: bool = False):
+    """Whole-training-on-chip driver. Same contract as
+    ops.train.train_merges: (pairs[M,2], counts[M], fail_round).
+
+    Training runs as ceil(M / 128) kernel launches. Between launches the only
+    host work is reading the segment's merge log (needed anyway for the final
+    result) to size the compacted stream; the stream itself never leaves the
+    device. Single-segment calls (M <= 128) behave exactly like the original
+    one-launch design.
+    """
+    import numpy as np
+
+    from .. import stream as stream_ops
+
+    M = num_merges
+    N = ids.shape[0]
+    R = _rows_for(N)
+    ids2, seg2, live2 = _prep_planes(jnp.asarray(ids), jnp.asarray(seg),
+                                     jnp.asarray(n), R)
+
+    outs = []
+    fail = M
+    n_live = None  # host-side live count; None until first segment read back
+    r0 = 0
+    while r0 < M:
+        m = min(SEG_ROUNDS, M - r0)
+        V = 256 + r0 + m
+        out, ids_next, seg_next = _run_segment(ids2, seg2, live2, R, V, m, r0,
+                                               interpret)
+        out_h = np.asarray(out)  # sync point (once per 128 rounds)
+        outs.append(out_h[:m])
+        seg_fail = int(out_h[m, 0])
+        if seg_fail < m:
+            fail = r0 + seg_fail
+            break
+        r0 += m
+        if r0 >= M:
+            break
+        # compact: live count after this segment = previous live - tokens
+        # consumed (one per merge occurrence, column 2 of the merge log)
+        if n_live is None:
+            n_live = int(n)
+        n_live -= int(out_h[:m, 2].sum())
+        R2 = _rows_for(fused_capacity(max(n_live, 1)))
+        ids2, seg2, live2 = _compact_planes(ids_next, seg_next, R2)
+        R = R2
+
+    pairs = np.concatenate([o[:, 0:2] for o in outs], axis=0)
+    counts = np.concatenate([o[:, 2] for o in outs], axis=0)
+    if pairs.shape[0] < M:  # exhausted mid-plan: pad with zero rows
+        pad = M - pairs.shape[0]
+        pairs = np.concatenate([pairs, np.zeros((pad, 2), np.int32)])
+        counts = np.concatenate([counts, np.zeros((pad,), np.int32)])
     return pairs, counts, fail

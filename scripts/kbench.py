@@ -23,7 +23,6 @@ from minbpe_tpu.ops.pallas.fused_train import train_merges_fused
 M = 256
 # warm
 p, c, f = train_merges_fused(ids, seg, n, M)
-p.block_until_ready()
 for trial in range(3):
     t0 = time.time()
     p, c, f = train_merges_fused(ids, seg, n, M)

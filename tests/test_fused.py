@@ -50,3 +50,24 @@ def test_corpus_slice():
 
 def test_failure_round():
     _cmp([[1, 2]], 4)
+
+
+def test_multi_segment_corpus():
+    """M > SEG_ROUNDS: crosses a segment boundary, exercising the staged
+    driver's mid-training compaction + narrow-V first segment."""
+    text = open("/root/reference/tests/taylorswift.txt", "rb").read()[:16384]
+    _cmp([list(text)], 160)
+
+
+def test_multi_segment_random_ties():
+    """Tie-heavy small-alphabet stream across the segment boundary: the
+    first-occurrence tie-break must survive compaction (stable order)."""
+    rng = random.Random(77)
+    seqs = [[rng.randint(0, 3) for _ in range(260)] for _ in range(3)]
+    _cmp(seqs, 140)
+
+
+def test_multi_segment_exhaustion():
+    """Merges run dry mid-plan; later segments must skip and the fail round
+    must come back exact."""
+    _cmp([[7] * 150], 256)
