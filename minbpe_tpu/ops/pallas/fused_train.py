@@ -422,7 +422,51 @@ def _kernel(ids_in, seg_in, live_in, out_ref, ids_out, seg_out,
             fi = first_tied_index(tied.astype(jnp.int8))
             return masked_pick(a_ref[:], fi), masked_pick(b_ref[:], fi)
 
-        pa, pb = jax.lax.cond(n_tied == 1, pick_unique, pick_tied, None)
+        def pick_tied_serial(_):
+            """Walk the tied pairs one by one (cheap full-plane reduces, no
+            matmul sweep): the winner is the pair whose first occurrence in
+            the stream is earliest — per-pair first occurrence is a masked
+            min-reduce, and the global minimum over tied pairs equals the
+            first index whose pair is tied. Ties are almost always tiny (the
+            bench corpus never exceeds 6 tied pairs), so this is ~10x cheaper
+            than the matmul tie sweep, which remains the fallback for
+            pathological tie sets."""
+            vi = jax.lax.broadcasted_iota(jnp.int32, (V, V), 0) * V + \
+                jax.lax.broadcasted_iota(jnp.int32, (V, V), 1)
+
+            # scalar-only loop state (Mosaic cannot carry vectors through
+            # scf.while): walk tied pairs in ascending flat-key order by
+            # re-reducing with a `> prev` mask instead of mutating the set.
+            def body(t, st):
+                prev, best_fi, pa, pb = st
+
+                def live(st):
+                    prev, best_fi, pa, pb = st
+                    flat = jnp.min(jnp.where(tied & (vi > prev), vi,
+                                             INT32_MAX))
+                    ca, cb = flat // V, flat % V
+                    fi = jnp.min(
+                        jnp.where((a_ref[:] == ca) & (b_ref[:] == cb),
+                                  flat_iota, INT32_MAX))
+                    better = (flat < INT32_MAX) & (fi < best_fi)
+                    return (flat,
+                            jnp.where(better, fi, best_fi),
+                            jnp.where(better, ca, pa),
+                            jnp.where(better, cb, pb))
+
+                return jax.lax.cond(prev < INT32_MAX, live, lambda s: s, st)
+
+            _, _, pa, pb = jax.lax.fori_loop(
+                0, 64, body,
+                (jnp.int32(-1), jnp.int32(INT32_MAX), jnp.int32(0),
+                 jnp.int32(0)))
+            return pa, pb
+
+        def pick_tied_any(_):
+            return jax.lax.cond(n_tied <= 64, pick_tied_serial, pick_tied,
+                                None)
+
+        pa, pb = jax.lax.cond(n_tied == 1, pick_unique, pick_tied_any, None)
         ok = (maxc > 0) & (fail >= i)
 
         def do(fail):
