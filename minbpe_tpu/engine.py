@@ -53,7 +53,8 @@ def run_train(ids, seg, n, num_merges: int, verbose: bool = False,
               select_mode: str = "auto", checkpoint_path: str | None = None,
               checkpoint_every: int | None = None,
               resume_from: str | None = None,
-              profile_dir: str | None = None, progress=None):
+              profile_dir: str | None = None, progress=None,
+              raw=None, packer=None):
     """Run the compiled training loop; return the merges dict + vocab dict.
 
     Replicates reference bookkeeping (minbpe/basic.py:29-45): new ids are
@@ -64,6 +65,11 @@ def run_train(ids, seg, n, num_merges: int, verbose: bool = False,
     small vocabs and the sort-based whole-run loop otherwise (all exact).
     Optional: resumable checkpoints (checkpoint_path/_every/resume_from),
     jax profiler traces (profile_dir), and a progress(done, total) callback.
+
+    raw/packer: when the fused path was pre-selected (see _train_capacity),
+    `raw` carries (padded uint8 bytes, int32 chunk ends, live length) so only
+    ~1 wire byte per corpus byte crosses the host->device tunnel; `packer`
+    lazily builds the (ids, seg, n) planes if a fallback path needs them.
     """
     import contextlib
 
@@ -75,7 +81,10 @@ def run_train(ids, seg, n, num_merges: int, verbose: bool = False,
         import jax
 
         V = 256 + num_merges
-        N = ids.shape[0] if hasattr(ids, "shape") else len(ids)
+        if ids is None:
+            N = int(raw[2])
+        else:
+            N = ids.shape[0] if hasattr(ids, "shape") else len(ids)
         can_fuse = (
             jax.default_backend() == "tpu"
             and V <= FUSED_MAX_V and N <= FUSED_MAX_N
@@ -101,13 +110,20 @@ def run_train(ids, seg, n, num_merges: int, verbose: bool = False,
 
     with prof:
         if select_mode == "fused":
-            from .ops.pallas.fused_train import train_merges_fused
+            from .ops.pallas.fused_train import (
+                train_merges_fused, train_merges_fused_bytes,
+            )
 
             try:
-                pairs, counts, fail_round = train_merges_fused(
-                    jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(n),
-                    num_merges
-                )
+                if raw is not None:
+                    pairs, counts, fail_round = train_merges_fused_bytes(
+                        raw[0], raw[1], int(raw[2]), num_merges
+                    )
+                else:
+                    pairs, counts, fail_round = train_merges_fused(
+                        jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(n),
+                        num_merges
+                    )
                 select_mode = "done"
             except Exception as e:  # kernel compile/runtime issue: fall back
                 import sys
@@ -115,6 +131,8 @@ def run_train(ids, seg, n, num_merges: int, verbose: bool = False,
                 print(f"minbpe_tpu: fused trainer unavailable ({e!r:.200}); "
                       "falling back to stepped", file=sys.stderr)
                 select_mode = "stepped"
+        if select_mode != "done" and ids is None:
+            ids, seg, n = packer()
         if select_mode == "done":
             pass
         elif select_mode == "stepped":
@@ -237,20 +255,42 @@ def _train_capacity(n: int, num_merges: int, opts) -> int | None:
     return None
 
 
+def _pack_raw(data: np.ndarray, ends: np.ndarray, cap: int):
+    """Pad corpus bytes + chunk ends for the fused-from-bytes trainer: uint8
+    data to the stream capacity, int32 ends to an /8-octave bucket (fill =
+    cap, which the device-side end-marker scatter drops as out-of-range)."""
+    n = int(data.shape[0])
+    d = np.zeros(cap, dtype=np.uint8)
+    d[:n] = data
+    p = 1 << max(len(ends) - 1, 1).bit_length()
+    gran = max(128, p // 8)
+    ecap = max(128, -(-len(ends) // gran) * gran)
+    e = np.full(ecap, cap, dtype=np.int32)
+    e[:len(ends)] = ends
+    return d, e, np.int32(n)
+
+
 def train_offsets(data, ends, num_merges: int, verbose: bool = False, **opts):
     cap = _train_capacity(int(data.shape[0]), num_merges, opts)
-    ids, seg, n = stream_ops.pack_offsets(data, ends, capacity=cap)
+    if cap is not None:
+        raw = _pack_raw(data, ends, cap)
+        return run_train(
+            None, None, None, num_merges, verbose, raw=raw,
+            packer=lambda: stream_ops.pack_offsets(data, ends, capacity=cap),
+            **opts)
+    ids, seg, n = stream_ops.pack_offsets(data, ends)
     return run_train(ids, seg, n, num_merges, verbose, **opts)
 
 
 def train_bytes(data: bytes, num_merges: int, verbose: bool = False, **opts):
-    cap = _train_capacity(len(data), num_merges, opts)
-    ids, seg, n = stream_ops.pack_bytes(data, capacity=cap)
-    return run_train(ids, seg, n, num_merges, verbose, **opts)
+    arr = np.frombuffer(data, dtype=np.uint8)
+    ends = np.asarray([len(data)], dtype=np.int64) if len(data) else \
+        np.zeros(0, dtype=np.int64)
+    return train_offsets(arr, ends, num_merges, verbose, **opts)
 
 
 def train_chunks(chunks: list[bytes], num_merges: int, verbose: bool = False,
                  **opts):
-    cap = _train_capacity(sum(len(c) for c in chunks), num_merges, opts)
-    ids, seg, n = stream_ops.pack_chunks(chunks, capacity=cap)
-    return run_train(ids, seg, n, num_merges, verbose, **opts)
+    data = np.frombuffer(b"".join(chunks), dtype=np.uint8)
+    ends = np.cumsum(np.asarray([len(c) for c in chunks], dtype=np.int64))
+    return train_offsets(data, ends, num_merges, verbose, **opts)

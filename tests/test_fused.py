@@ -71,3 +71,28 @@ def test_multi_segment_exhaustion():
     """Merges run dry mid-plan; later segments must skip and the fail round
     must come back exact."""
     _cmp([[7] * 150], 256)
+
+
+def test_from_bytes_parity():
+    """train_merges_fused_bytes (device-built planes from uint8 data + chunk
+    ends) must equal the plane-fed driver exactly."""
+    from minbpe_tpu.ops.pallas.fused_train import train_merges_fused_bytes
+    from minbpe_tpu.engine import _pack_raw
+    import jax.numpy as jnp
+
+    text = open("/root/reference/tests/taylorswift.txt", "rb").read()[:8192]
+    ends_list = list(range(7, len(text), 9)) + [len(text)]
+    chunks = [text[a:b] for a, b in zip([0] + ends_list, ends_list)]
+    ids, seg, n = st.pack_chunks([c for c in chunks if c])
+    p1, c1, f1 = train_merges_fused(
+        jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(n), 40,
+        interpret=True)
+    data = np.frombuffer(text, dtype=np.uint8)
+    ends = np.asarray(ends_list, dtype=np.int64)
+    from minbpe_tpu.ops.pallas.fused_train import fused_capacity
+    raw = _pack_raw(data, ends, fused_capacity(len(text)))
+    p2, c2, f2 = train_merges_fused_bytes(raw[0], raw[1], int(raw[2]), 40,
+                                          interpret=True)
+    assert int(f1) == int(f2)
+    assert (np.asarray(p1) == np.asarray(p2)).all()
+    assert (np.asarray(c1) == np.asarray(c2)).all()
