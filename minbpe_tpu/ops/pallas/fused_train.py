@@ -29,10 +29,10 @@ Scans are two-level (in-row lane scans + cross-row scans). One-hot building
 slices columns of a transposed (128, 128) tile so the 128 elements of a row
 land on sublanes without per-row relayouts.
 
-Supported sizes: N <= 2M tokens (128 MB VMEM; 8 persistent planes + bounded
-transients via the ref-mutating scans), V <= 1024. Larger runs use the
-stepped/sort paths (ops/train_inc.py, ops/train.py); multi-chip runs shard
-first (parallel/train.py).
+Supported sizes: N <= 4M tokens (128 MB VMEM; 5 persistent planes, scans run
+tile-sequentially with scalar carries so transients stay in-register),
+V <= 1024. Larger runs use the stepped/sort paths (ops/train_inc.py,
+ops/train.py); multi-chip runs shard first (parallel/train.py).
 
 Exactness: bit-identical to ops.train.train_merges (tests/test_fused.py).
 """
@@ -48,13 +48,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 C = 128          # lane width; stream layout is (R, C)
 TILE_ROWS = 128  # rows per count-matmul tile (tile = 128x128 elements)
+SCAN_TILE_ROWS = 128  # rows per sequential scan tile (in-register scans)
 INT32_MAX = 2**31 - 1
 
-# auto-mode limits: the working set (5 int32 planes + scan temporaries) must
-# fit VMEM (128 MB on v5e): 8 persistent planes + bounded scan transients
-# (ref-mutating scans). Larger runs use the stepped/sort/sharded paths;
-# engine.run_train also falls back automatically if the kernel fails.
-FUSED_MAX_N = 1 << 21
+# auto-mode limits: the working set (5 persistent int32 planes: ids, seg,
+# live, a, b = 20 B/token) must fit VMEM (128 MB on v5e); scan temporaries
+# are per-tile and stay in-register. 4M tokens = 80 MB, leaving headroom for
+# the count-matmul transients. Larger runs use the stepped/sort/sharded
+# paths; engine.run_train also falls back automatically if the kernel fails.
+FUSED_MAX_N = 1 << 22
 FUSED_MAX_V = 1024
 
 TILE_ELEMS = TILE_ROWS * C  # stream elements per count tile (16384)
@@ -209,112 +211,12 @@ def _select_scan_rev_exclusive(ss, vs, fills):
 
 
 # ---------------------------------------------------------------------------
-# ref-mutating scan variants: same algorithms as above, but each doubling
-# step writes back to a scratch ref. This cuts SSA live ranges so the Mosaic
-# allocator keeps a handful of transient planes instead of the whole scan
-# history (the value-based forms needed ~380 MB of VMEM at N=2^21).
-# ---------------------------------------------------------------------------
-
-def _ref_shift_flat_fwd(ref, fill):
-    x = ref[:]
-    R = x.shape[0]
-    s = _shift_lanes(x, 1, fill)
-    carry = _shift_rows(x[:, C - 1:C], 1, fill)
-    ref[:] = jnp.where(_lane_iota(R) == 0, carry, s)
-
-
-def _ref_shift_flat_rev(ref, fill):
-    x = ref[:]
-    R = x.shape[0]
-    s = _shift_lanes_rev(x, 1, fill)
-    carry = _shift_rows_rev(x[:, 0:1], 1, fill)
-    ref[:] = jnp.where(_lane_iota(R) == C - 1, carry, s)
-
-
-def _ref_select_scan_fwd(s_ref, v_ref, fill, R):
-    """Inclusive forward select-scan, in place on (s_ref, v_ref)."""
-    k = 1
-    while k < C:
-        s = s_ref[:]
-        v = v_ref[:]
-        v_ref[:] = jnp.where(s == 1, v, _shift_lanes(v, k, fill))
-        s_ref[:] = s | _shift_lanes(s, k, 0)
-        k *= 2
-    rs = s_ref[:, C - 1:C]
-    rv = v_ref[:, C - 1:C]
-    k = 1
-    while k < R:
-        pv = _shift_rows(rv, k, fill)
-        rv = jnp.where(rs == 1, rv, pv)
-        rs = rs | _shift_rows(rs, k, 0)
-        k *= 2
-    prs = _shift_rows(rs, 1, 0)
-    prv = _shift_rows(rv, 1, fill)
-    s = s_ref[:]
-    v = v_ref[:]
-    v_ref[:] = jnp.where(s == 1, v, prv)
-    s_ref[:] = s | prs
-
-
-def _ref_select_scan_fwd_exclusive(s_ref, v_ref, fill, R):
-    _ref_shift_flat_fwd(s_ref, 0)
-    _ref_shift_flat_fwd(v_ref, fill)
-    _ref_select_scan_fwd(s_ref, v_ref, fill, R)
-
-
-def _ref_select_scan_rev_exclusive2(s_ref, v1_ref, v2_ref, f1, f2, R):
-    """Reverse exclusive select-scan over a flag + two value planes."""
-    _ref_shift_flat_rev(s_ref, 0)
-    _ref_shift_flat_rev(v1_ref, f1)
-    _ref_shift_flat_rev(v2_ref, f2)
-    k = 1
-    while k < C:
-        s = s_ref[:]
-        for ref, fill in ((v1_ref, f1), (v2_ref, f2)):
-            v = ref[:]
-            ref[:] = jnp.where(s == 1, v, _shift_lanes_rev(v, k, fill))
-        s_ref[:] = s | _shift_lanes_rev(s, k, 0)
-        k *= 2
-    rs = s_ref[:, 0:1]
-    rv1 = v1_ref[:, 0:1]
-    rv2 = v2_ref[:, 0:1]
-    k = 1
-    while k < R:
-        rv1 = jnp.where(rs == 1, rv1, _shift_rows_rev(rv1, k, f1))
-        rv2 = jnp.where(rs == 1, rv2, _shift_rows_rev(rv2, k, f2))
-        rs = rs | _shift_rows_rev(rs, k, 0)
-        k *= 2
-    prs = _shift_rows_rev(rs, 1, 0)
-    prv1 = _shift_rows_rev(rv1, 1, f1)
-    prv2 = _shift_rows_rev(rv2, 1, f2)
-    s = s_ref[:]
-    for ref, prv in ((v1_ref, prv1), (v2_ref, prv2)):
-        v = ref[:]
-        ref[:] = jnp.where(s == 1, v, prv)
-    s_ref[:] = s | prs
-
-
-def _ref_cumsum_flat(x_ref, R):
-    k = 1
-    while k < C:
-        x = x_ref[:]
-        x_ref[:] = x + _shift_lanes(x, k, 0)
-        k *= 2
-    totals = x_ref[:, C - 1:C]
-    k = 1
-    while k < R:
-        totals = totals + _shift_rows(totals, k, 0)
-        k *= 2
-    x_ref[:] = x_ref[:] + _shift_rows(totals, 1, 0)
-
-
-# ---------------------------------------------------------------------------
 # the kernel
 # ---------------------------------------------------------------------------
 
 def _kernel(ids_in, seg_in, live_in, out_ref, ids_out, seg_out,
             ids_ref, seg_ref, live_ref,
-            a_ref, b_ref, s1_ref, s2_ref, s3_ref, dma_sems,
+            a_ref, b_ref, dma_sems,
             *, R: int, V: int, M: int, r0: int):
     # inputs live in HBM; copy them into the VMEM working set
     for src, dst, k in ((ids_in, ids_ref, 0), (seg_in, seg_ref, 1),
@@ -324,7 +226,11 @@ def _kernel(ids_in, seg_in, live_in, out_ref, ids_out, seg_out,
                         (live_in, live_ref, 2)):
         pltpu.make_async_copy(src, dst, dma_sems.at[k]).wait()
 
-    flat_iota = _row_iota(R) * C + _lane_iota(R)
+    TRS = SCAN_TILE_ROWS
+    T = R // TRS
+    tflat = jax.lax.broadcasted_iota(jnp.int32, (TRS, C), 0) * C + \
+        jax.lax.broadcasted_iota(jnp.int32, (TRS, C), 1)
+
     GROUP = 32  # column-groups per matmul: contraction = GROUP * C = 4096
     GC = GROUP * C
     viota_g = jax.lax.broadcasted_iota(jnp.int32, (GC, V), 1)
@@ -391,20 +297,111 @@ def _kernel(ids_in, seg_in, live_in, out_ref, ids_out, seg_out,
 
         return jax.lax.fori_loop(0, n_tiles, tile_body, best)
 
-    def masked_pick(arr, flat_idx):
-        """arr value at flat position flat_idx (reduce, no gather)."""
-        return jnp.max(jnp.where(flat_iota == flat_idx, arr, -2**31))
+    def masked_pick(ref, flat_idx):
+        """ref value at flat stream position flat_idx (tiled masked reduce,
+        no gather, no whole-plane transient)."""
+
+        def body(t, best):
+            sl = pl.ds(t * TRS, TRS)
+            v = jnp.max(jnp.where(tflat + t * (TRS * C) == flat_idx,
+                                  ref[sl, :], -2**31))
+            return jnp.maximum(best, v)
+
+        return jax.lax.fori_loop(0, T, body, jnp.int32(-2**31))
+
+    def first_match_index(ca, cb):
+        """Smallest flat stream position with (a, b) == (ca, cb), tiled."""
+
+        def body(t, best):
+            sl = pl.ds(t * TRS, TRS)
+            hit = (a_ref[sl, :] == ca) & (b_ref[sl, :] == cb)
+            cand = jnp.min(jnp.where(hit, tflat + t * (TRS * C), INT32_MAX))
+            return jnp.minimum(best, cand)
+
+        return jax.lax.fori_loop(0, T, body, jnp.int32(INT32_MAX))
+
+    # ------------------------------------------------------------------
+    # sequential tiled scans: each pass walks (TRS, C) row-tiles in stream
+    # order with SCALAR carries, doing the log-step doubling scans on the
+    # in-register tile values. The VPU processes vregs one at a time either
+    # way, so tile-serialization costs nothing — but whole-plane scans
+    # write every doubling step back to VMEM (~20 plane passes per round),
+    # while tiled scans touch each plane twice (load + store).
+    # ------------------------------------------------------------------
+    def _last(v):
+        """Scalar at the tile's last flat position."""
+        return jnp.max(v[TRS - 1:TRS, C - 1:C])
+
+    def _pick_at(v, p, fill):
+        """Scalar at dynamic flat tile position p (masked reduce)."""
+        return jnp.max(jnp.where(tflat == p, v, fill))
+
+    def pass_adjacency():
+        """Reverse pass: a/b = (id, next-live id) masked to countable pairs
+        (same segment, both live) — the array form of adjacent-pair counting
+        over chunk lists (minbpe/regex.py:52-54)."""
+
+        def body(tt, carry):
+            t = T - 1 - tt
+            cid, cseg = carry  # id/seg of the first live position after tile
+            sl = pl.ds(t * TRS, TRS)
+            ids_t = ids_ref[sl, :]
+            seg_t = seg_ref[sl, :]
+            live_t = live_ref[sl, :]
+            s, nli, nls = _select_scan_rev_exclusive(
+                live_t, (ids_t, seg_t), (-1, -2))
+            nli = jnp.where(s == 1, nli, cid)
+            nls = jnp.where(s == 1, nls, cseg)
+            valid = (live_t == 1) & (nli >= 0) & (seg_t == nls)
+            a_ref[sl, :] = jnp.where(valid, ids_t, -1)
+            b_ref[sl, :] = jnp.where(valid, nli, -1)
+            # carry': first live position in this tile, if any
+            fl = jnp.min(jnp.where(live_t == 1, tflat, INT32_MAX))
+            any_live = fl < INT32_MAX
+            return (jnp.where(any_live, _pick_at(ids_t, fl, -2**31), cid),
+                    jnp.where(any_live, _pick_at(seg_t, fl, -2**31), cseg))
+
+        jax.lax.fori_loop(0, T, body, (jnp.int32(-1), jnp.int32(-2)))
+
+    def pass_apply(pa, pb, new_id):
+        """Forward pass: apply the picked merge with the reference's
+        left-first overlap rule (minbpe/base.py:25-41) — keep = match whose
+        chain distance from its run start is even; kill the token consumed
+        by a kept match (the next live one)."""
+
+        def body(t, carry):
+            mc, cc, rc, kc = carry
+            sl = pl.ds(t * TRS, TRS)
+            live_t = live_ref[sl, :]
+            ids_t = ids_ref[sl, :]
+            m = ((a_ref[sl, :] == pa) & (b_ref[sl, :] == pb)).astype(
+                jnp.int32)
+            s2, mprv = _select_scan_fwd_exclusive(live_t, m, 0)
+            mprv = jnp.where(s2 == 1, mprv, mc)
+            new_run = m * (1 - mprv)
+            chain = _cumsum_flat(live_t) + cc
+            s4, cps = _select_scan_fwd(new_run, chain, 0)
+            cps = jnp.where(s4 == 1, cps, rc)
+            keep = ((m == 1) & (((chain - cps) & 1) == 0)).astype(jnp.int32)
+            s5, kprv = _select_scan_fwd_exclusive(live_t, keep, 0)
+            kprv = jnp.where(s5 == 1, kprv, kc)
+            ids_ref[sl, :] = jnp.where(keep == 1, new_id, ids_t)
+            live_ref[sl, :] = jnp.where(kprv == 1, 0, live_t)
+            # carries: chain total; m/keep at the tile's last live position;
+            # run-start chainpos if any run started in this tile
+            fl = jnp.max(jnp.where(live_t == 1, tflat, -1))
+            has = fl >= 0
+            return (jnp.where(has, _pick_at(m, fl, -2**31), mc),
+                    _last(chain),
+                    jnp.where(_last(s4) == 1, _last(cps), rc),
+                    jnp.where(has, _pick_at(keep, fl, -2**31), kc))
+
+        jax.lax.fori_loop(
+            0, T, body,
+            (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0)))
 
     def round_body(i, fail):
-        # next-live id/seg: reverse exclusive select-scan, in place on
-        # scratch copies (s1 = live flags, s2 -> nli, s3 -> nls)
-        s1_ref[:] = live_ref[:]
-        s2_ref[:] = ids_ref[:]
-        s3_ref[:] = seg_ref[:]
-        _ref_select_scan_rev_exclusive2(s1_ref, s2_ref, s3_ref, -1, -2, R)
-        valid = (live_ref[:] == 1) & (s2_ref[:] >= 0) & (seg_ref[:] == s3_ref[:])
-        a_ref[:] = jnp.where(valid, ids_ref[:], -1)
-        b_ref[:] = jnp.where(valid, s2_ref[:], -1)
+        pass_adjacency()
 
         counts = count_matrix()
         maxc = jnp.max(counts)
@@ -420,7 +417,7 @@ def _kernel(ids_in, seg_in, live_in, out_ref, ids_out, seg_out,
 
         def pick_tied(_):
             fi = first_tied_index(tied.astype(jnp.int8))
-            return masked_pick(a_ref[:], fi), masked_pick(b_ref[:], fi)
+            return masked_pick(a_ref, fi), masked_pick(b_ref, fi)
 
         def pick_tied_serial(_):
             """Walk the tied pairs one by one (cheap full-plane reduces, no
@@ -445,9 +442,7 @@ def _kernel(ids_in, seg_in, live_in, out_ref, ids_out, seg_out,
                     flat = jnp.min(jnp.where(tied & (vi > prev), vi,
                                              INT32_MAX))
                     ca, cb = flat // V, flat % V
-                    fi = jnp.min(
-                        jnp.where((a_ref[:] == ca) & (b_ref[:] == cb),
-                                  flat_iota, INT32_MAX))
+                    fi = first_match_index(ca, cb)
                     better = (flat < INT32_MAX) & (fi < best_fi)
                     return (flat,
                             jnp.where(better, fi, best_fi),
@@ -470,31 +465,7 @@ def _kernel(ids_in, seg_in, live_in, out_ref, ids_out, seg_out,
         ok = (maxc > 0) & (fail >= i)
 
         def do(fail):
-            # match mask from the masked pair planes (pa, pb >= 0 always)
-            s1_ref[:] = ((a_ref[:] == pa) & (b_ref[:] == pb)).astype(jnp.int32)
-            # m_prv: previous live index's match flag
-            s2_ref[:] = live_ref[:]
-            s3_ref[:] = s1_ref[:]
-            _ref_select_scan_fwd_exclusive(s2_ref, s3_ref, 0, R)
-            # new_run -> s2 (flag garbage overwritten)
-            s2_ref[:] = s1_ref[:] * (1 - s3_ref[:])
-            # chainpos -> s3, backed up in b (b no longer needed)
-            s3_ref[:] = live_ref[:]
-            _ref_cumsum_flat(s3_ref, R)
-            b_ref[:] = s3_ref[:]
-            # cps: inclusive select-scan over (new_run, chainpos) -> s3
-            _ref_select_scan_fwd(s2_ref, s3_ref, 0, R)
-            # keep -> s1 (overwrites m; parity from chainpos backup)
-            s1_ref[:] = (
-                (s1_ref[:] == 1) & (((b_ref[:] - s3_ref[:]) & 1) == 0)
-            ).astype(jnp.int32)
-            # k_prv: previous live index's keep flag -> consumed tokens
-            s2_ref[:] = live_ref[:]
-            s3_ref[:] = s1_ref[:]
-            _ref_select_scan_fwd_exclusive(s2_ref, s3_ref, 0, R)
-            ids_ref[:] = jnp.where(s1_ref[:] == 1, jnp.int32(256 + r0) + i,
-                                   ids_ref[:])
-            live_ref[:] = jnp.where(s3_ref[:] == 1, 0, live_ref[:])
+            pass_apply(pa, pb, jnp.int32(256 + r0) + i)
             # record the round
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
             row = jnp.where(lane == 0, pa,
@@ -515,7 +486,12 @@ def _kernel(ids_in, seg_in, live_in, out_ref, ids_out, seg_out,
 
     # write the final stream state back to HBM (consumed tokens become -1 so
     # the staged driver can compact without a separate live plane)
-    ids_ref[:] = jnp.where(live_ref[:] == 1, ids_ref[:], -1)
+    def _mask_dead(t, _):
+        sl = pl.ds(t * TRS, TRS)
+        ids_ref[sl, :] = jnp.where(live_ref[sl, :] == 1, ids_ref[sl, :], -1)
+        return 0
+
+    jax.lax.fori_loop(0, T, _mask_dead, 0)
     for src, dst, k in ((ids_ref, ids_out, 0), (seg_ref, seg_out, 1)):
         pltpu.make_async_copy(src, dst, dma_sems.at[k]).start()
     for src, dst, k in ((ids_ref, ids_out, 0), (seg_ref, seg_out, 1)):
@@ -606,13 +582,13 @@ def _run_segment(ids2, seg2, live2, R: int, V: int, m: int, r0: int,
             pltpu.VMEM((R, C), jnp.int32),  # live
             pltpu.VMEM((R, C), jnp.int32),  # a (masked left ids)
             pltpu.VMEM((R, C), jnp.int32),  # b (masked next-live ids)
-            pltpu.VMEM((R, C), jnp.int32),  # s1 (scan scratch)
-            pltpu.VMEM((R, C), jnp.int32),  # s2 (scan scratch)
-            pltpu.VMEM((R, C), jnp.int32),  # s3 (scan scratch)
             pltpu.SemaphoreType.DMA((3,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            # v5e has 128 MB of VMEM; the default 100 MB scoped limit leaves
+            # margin we don't need (the working set is exactly 5 R*C planes
+            # + in-register scan tiles + the count-matmul transients).
+            vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
     )(ids2, seg2, live2)
