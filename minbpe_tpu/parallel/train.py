@@ -12,11 +12,14 @@ TPU-native scaling design it lacks:
   bit-identical to the single-device sort-based path and to the reference;
 - merge application + compaction happen shard-locally.
 
-Two exact selection implementations (selection="dense"|"sparse"):
+Three exact selection implementations (selection="dense"|"sparse"|"owner"):
 - dense: psum'd [V, V] count/min-position matrices — right up to vocab ~8K;
 - sparse: sorted per-shard distinct-pair run summaries merged across shards
   via all_gather — no V^2 memory anywhere, exact at 100K+ vocab, with loud
-  (never silent) per-shard capacity overflow detection.
+  (never silent) per-shard capacity overflow detection;
+- owner: owner-sharded keyspace — summaries routed to per-pair owner devices
+  (hash % D) over an all_to_all, merged at the owner, D champions gathered.
+  Replicates O(D) scalars instead of O(D*K) summaries: the large-mesh mode.
 See parallel/README.md for the scaling analysis.
 
 Global first-occurrence positions are ``shard_index * shard_capacity +
@@ -253,9 +256,92 @@ def _sparse_global_select(lpa, lpb, lcnt, lpos, K, D):
     return sa[best_j], sb[best_j], maxc, maxc > 0
 
 
+def _owner_global_select(lpa, lpb, lcnt, lpos, K, Kb, D):
+    """Owner-sharded exact selection for large meshes: pair (a, b) is owned
+    by device ``hash(a, b) % D``; every shard routes its distinct-pair
+    summaries to their owners with a fixed-capacity ``all_to_all``, each
+    owner merges the full count/min-position for the keys it owns and emits
+    one champion, and an ``all_gather`` of the D champions yields the exact
+    global argmax with the first-occurrence tie-break.
+
+    Exact because every occurrence of a pair reaches exactly one owner, so
+    each pair's total count and min position live complete at that owner,
+    and the champion-of-champions is the true argmax. No top-K approximation;
+    per-(shard, owner) bucket overflow (> Kb entries) is flagged loudly.
+
+    Communication per round: D*Kb*16 bytes per shard over the all_to_all
+    (Kb ~ K/D with skew margin) vs the sparse path's D*K*16 replicated
+    all_gather — the right trade when D is large.
+
+    Returns (pa, pb, maxc, any_pair, overflow_local).
+    """
+    j = jnp.arange(K, dtype=jnp.int32)
+    valid = lpa != INT32_MAX
+    # multiplicative hash mod D; int32 wraparound is deterministic and
+    # jnp.remainder is non-negative for positive D. Invalid slots -> D
+    # (dropped by the scatter below).
+    owner = jnp.where(valid,
+                      jnp.remainder(lpa * jnp.int32(1000003) + lpb,
+                                    jnp.int32(D)),
+                      jnp.int32(D))
+    so, sa, sb, sc, sp = jax.lax.sort((owner, lpa, lpb, lcnt, lpos),
+                                      num_keys=1, is_stable=False)
+    # rank within the owner's run -> bucket slot
+    head = so != jnp.roll(so, 1).at[0].set(-1)
+    run_start = jax.lax.cummax(jnp.where(head, j, -1))
+    rank = j - run_start
+    ok = (so < D) & (rank < Kb)
+    overflow = jnp.any((so < D) & (rank >= Kb))
+    dest = jnp.where(ok, so * Kb + rank, D * Kb)  # oob index -> dropped
+    buf_a = jnp.full((D * Kb,), INT32_MAX, jnp.int32).at[dest].set(
+        sa, mode="drop")
+    buf_b = jnp.full((D * Kb,), INT32_MAX, jnp.int32).at[dest].set(
+        sb, mode="drop")
+    buf_c = jnp.zeros((D * Kb,), jnp.int32).at[dest].set(sc, mode="drop")
+    buf_p = jnp.full((D * Kb,), INT32_MAX, jnp.int32).at[dest].set(
+        sp, mode="drop")
+
+    # route bucket d to device d; receive (D, Kb) keyed by source shard
+    recv = [
+        jax.lax.all_to_all(x.reshape(D, Kb), "data", 0, 0).reshape(-1)
+        for x in (buf_a, buf_b, buf_c, buf_p)
+    ]
+    ra, rb, rc, rp = recv
+
+    # owner-local merge: identical run-sum machinery to the sparse path
+    T = D * Kb
+    sa, sb, sp, sc = jax.lax.sort((ra, rb, rp, rc), num_keys=3,
+                                  is_stable=False)
+    t = jnp.arange(T, dtype=jnp.int32)
+    prev_sa = jnp.roll(sa, 1).at[0].set(-2)
+    prev_sb = jnp.roll(sb, 1).at[0].set(-2)
+    head = ((sa != prev_sa) | (sb != prev_sb)) & (sa != INT32_MAX)
+    marker = jnp.where(head | (sa == INT32_MAX), t, T)
+    next_start = jnp.roll(jax.lax.cummin(marker, reverse=True), -1)
+    next_start = next_start.at[T - 1].set(T)
+    csum = jnp.cumsum(sc)
+    csum_prev = jnp.roll(csum, 1).at[0].set(0)
+    total = jnp.where(head, csum[jnp.maximum(next_start - 1, 0)] - csum_prev,
+                      0)
+    cmax = jnp.max(total)
+    ctied = head & (total == cmax)
+    cpos = jnp.min(jnp.where(ctied, sp, INT32_MAX))
+    cj = jnp.argmax(ctied & (sp == cpos))
+    champ = (sa[cj], sb[cj], cmax, cpos)
+
+    # champion-of-champions across owners (tiny: 4 scalars per device)
+    ga, gb, gc, gp = (jax.lax.all_gather(x, "data") for x in champ)
+    maxc = jnp.max(gc)
+    tied = gc == maxc
+    best_pos = jnp.min(jnp.where(tied, gp, INT32_MAX))
+    w = jnp.argmax(tied & (gp == best_pos))
+    return ga[w], gb[w], maxc, maxc > 0, overflow
+
+
 def build_distributed_train(mesh: Mesh, num_merges: int, vocab_size: int,
                             shard_capacity: int, selection: str = "dense",
-                            sparse_cap: int | None = None):
+                            sparse_cap: int | None = None,
+                            owner_cap: int | None = None):
     """Returns a jitted fn: (ids[D*Nl], seg[D*Nl], lens[D]) ->
     (pairs[M,2], counts[M], fail_round).
 
@@ -271,12 +357,19 @@ def build_distributed_train(mesh: Mesh, num_merges: int, vocab_size: int,
                  (any vocab size; no V^2 memory anywhere). sparse_cap bounds
                  distinct pairs per shard (default min(Nl+1, 1<<17));
                  overflow is detected and raised host-side, never silent.
+      "owner"  — owner-sharded keyspace selection: summaries are routed to
+                 per-pair owner devices (hash % D) over an all_to_all and
+                 merged there; only D champions are replicated. Same
+                 exactness and overflow discipline; owner_cap bounds
+                 entries per (shard, owner) bucket (default the skew-padded
+                 4*ceil(K/D), capped at K).
     """
     V = vocab_size
     M = num_merges
     Nl = shard_capacity
     D = mesh.devices.size
     K = sparse_cap if sparse_cap is not None else min(Nl + 1, 1 << 17)
+    Kb = owner_cap if owner_cap is not None else min(K, 4 * (-(-K // D)))
 
     def shard_body(ids, seg, lens):
         # local views: ids, seg: [Nl]; lens: [1]
@@ -291,15 +384,21 @@ def build_distributed_train(mesh: Mesh, num_merges: int, vocab_size: int,
         def body(i, state):
             ids, seg, n, pairs, counts, fail, oflow = state
             halo_id, halo_seg, halo_ok = _halo_exchange(ids, seg, n, D)
-            if selection == "sparse":
+            if selection in ("sparse", "owner"):
                 lpa, lpb, lcnt, lpos, of = _local_run_summaries(
                     ids, seg, n, gpos_base, K, halo_id, halo_seg, halo_ok
                 )
+                if selection == "owner":
+                    pa, pb, maxc, any_pair, of2 = _owner_global_select(
+                        lpa, lpb, lcnt, lpos, K, Kb, D
+                    )
+                    of = of | of2
+                else:
+                    pa, pb, maxc, any_pair = _sparse_global_select(
+                        lpa, lpb, lcnt, lpos, K, D
+                    )
                 oflow = oflow | (jax.lax.psum(of.astype(jnp.int32), "data")
                                  > 0)
-                pa, pb, maxc, any_pair = _sparse_global_select(
-                    lpa, lpb, lcnt, lpos, K, D
-                )
             else:
                 lc, lp = _local_pair_stats(
                     ids, seg, n, gpos_base, V, halo_id, halo_seg, halo_ok
@@ -395,8 +494,9 @@ def _finish_train(pairs, counts, fail, num_merges, verbose, oflow=False):
     counts = np.asarray(counts)
     if int(oflow):
         raise RuntimeError(
-            "sparse selection overflow: a shard exceeded its distinct-pair "
-            "capacity; raise sparse_cap"
+            "selection capacity overflow: a shard exceeded its distinct-pair "
+            "capacity (raise sparse_cap) or an owner bucket overflowed "
+            "(raise owner_cap)"
         )
     if int(fail) < num_merges:
         raise ValueError(

@@ -148,3 +148,55 @@ def test_shard_chunks_layout():
         row = ids[d * Nl:(d + 1) * Nl]
         flat.extend(int(x) for x in row if x >= 0)
     assert bytes(flat) == b"".join(chunks)
+
+
+class TestOwnerSelection:
+    """Owner-sharded keyspace selection (the large-mesh path): routes each
+    pair's summaries to its owner device over an all_to_all, so only D
+    champions are ever replicated. Must be bit-identical to dense/sparse."""
+
+    @pytest.mark.parametrize("seed", range(5))
+    def test_matches_dense(self, seed):
+        rng = random.Random(3000 + seed)
+        chunks = [
+            bytes(rng.randint(97, 106) for _ in range(rng.randint(1, 30)))
+            for _ in range(rng.randint(3, 40))
+        ]
+        num_merges = rng.randint(2, 10)
+        mesh = make_mesh(8)
+        try:
+            dense, _ = train_chunks_distributed(chunks, num_merges, mesh)
+        except ValueError:
+            with pytest.raises(ValueError):
+                train_chunks_distributed(chunks, num_merges, mesh,
+                                         selection="owner")
+            return
+        owner, _ = train_chunks_distributed(chunks, num_merges, mesh,
+                                            selection="owner")
+        assert owner == dense
+
+    def test_matches_oracle_on_text(self):
+        text = ("Owner sharded keyspace selection must agree exactly, "
+                "ties included. " * 20)
+        chunks = [w.encode() for w in text.split(" ") if w]
+        expected = oracle.train(chunks, 12)
+        mesh = make_mesh(8)
+        merges, _ = train_chunks_distributed(chunks, 12, mesh,
+                                             selection="owner")
+        assert merges == {pair: nid for pair, nid in expected}
+
+    def test_bucket_overflow_detected(self):
+        from minbpe_tpu.parallel.train import build_distributed_train
+        import jax.numpy as jnp
+
+        rng = random.Random(1)
+        chunks = [bytes(rng.randint(0, 255) for _ in range(64))
+                  for _ in range(16)]
+        mesh = make_mesh(8)
+        ids, seg, lens = shard_chunks(chunks, 8)
+        Nl = ids.shape[0] // 8
+        fn = build_distributed_train(mesh, 2, 258, Nl, selection="owner",
+                                     owner_cap=1)  # absurdly small buckets
+        _, _, _, oflow = fn(jnp.asarray(ids), jnp.asarray(seg),
+                            jnp.asarray(lens))
+        assert int(oflow) == 1
