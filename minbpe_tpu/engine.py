@@ -207,8 +207,9 @@ def encode_bytes(tokenizer, data: bytes) -> list[int]:
     """Encode raw bytes as a single segment (BasicTokenizer path)."""
     if len(data) == 0:
         return []
-    ids, seg, n = stream_ops.pack_bytes(data)
-    return encode_packed(tokenizer, ids, seg, n)
+    arr = np.frombuffer(data, dtype=np.uint8)
+    ends = np.array([len(data)], dtype=np.int32)
+    return encode_offsets(tokenizer, arr, ends)
 
 
 def encode_chunks(tokenizer, chunks: list[bytes]) -> list[int]:
@@ -225,11 +226,25 @@ def encode_chunks(tokenizer, chunks: list[bytes]) -> list[int]:
 
 def encode_offsets(tokenizer, data, ends) -> list[int]:
     """Encode a (byte array, chunk-end offsets) pair — the vectorized path."""
+    import jax
+
     if data.shape[0] == 0:
         return []
     dev = device_table(tokenizer)
     if dev.kind == "sorted":
         return chunk_encode.encode_offsets(data, ends, dev.sorted_table)
+    if dev.kind == "dense":
+        from .ops.pallas.fused_encode import (
+            encode_fused_bytes, FUSED_ENCODE_MAX_N, FUSED_ENCODE_MAX_M,
+        )
+
+        M = int(dev.merge_ids.shape[0])
+        if (jax.default_backend() == "tpu" and M <= FUSED_ENCODE_MAX_M
+                and data.shape[0] <= FUSED_ENCODE_MAX_N):
+            # ship raw bytes + offsets; planes are built on device
+            out = encode_fused_bytes(data, ends, data.shape[0],
+                                     dev.merge_pairs, dev.merge_ids)
+            return out.tolist()
     ids, seg, n = stream_ops.pack_offsets(data, ends)
     return encode_packed(tokenizer, ids, seg, n)
 

@@ -8,10 +8,15 @@ min-present-rank loop (minbpe/basic.py:61-73, regex.py:96-108) exactly.
 
 Per rank r the body needs NO table lookup at all: the pair (pa_r, pb_r) is
 read from the rank-ordered merge arrays, matched elementwise against the
-stream, and applied with the same tombstone-chain scan machinery as the
-fused trainer (ops/pallas/fused_train.py): next-live adjacency via reverse
+stream, and applied with the same tile-sequential scan passes as the fused
+trainer (ops/pallas/fused_train.py): next-live adjacency via reverse
 select-scans, left-first parity via chain positions, kills via exclusive
-select-scans. State never leaves VMEM.
+select-scans. State never leaves VMEM; scan temporaries stay in-register.
+
+Transfers are minimal on both sides: the stream ships to the device as raw
+corpus bytes + chunk-end offsets (planes are built on device), and the
+result ships back as ONE tombstoned id plane (dead positions = -1; the live
+ids in flat order ARE the output order, so the host just drops the -1s).
 
 Right-sized for trained tokenizers (M <= ~2K ranks); cl100k-scale encode
 uses the bucketed chunk encoder (ops/chunk_encode.py).
@@ -27,16 +32,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fused_train import (
-    C, _cumsum_flat, _select_scan_fwd, _select_scan_fwd_exclusive,
-    _select_scan_rev_exclusive,
+    C, SCAN_TILE_ROWS, _cumsum_flat, _prep_from_bytes, _prep_planes,
+    _select_scan_fwd, _select_scan_fwd_exclusive, _select_scan_rev_exclusive,
+    tiled_adjacency, tiled_apply, tiled_mask_dead,
 )
 
-FUSED_ENCODE_MAX_N = 1 << 21
+FUSED_ENCODE_MAX_N = 1 << 22
 FUSED_ENCODE_MAX_M = 2048
+
+# Above this many rows the round body switches from whole-plane value scans
+# (fastest at small R: ~14 doubling steps over wide vectors, no serialized
+# carries) to the tile-sequential passes (bounded VMEM transients: value
+# scans keep O(log) whole-plane SSA live ranges, which the Mosaic allocator
+# turns into hundreds of MB at R ~ 2^15).
+TILED_MIN_R = 4096
 
 
 def _kernel(ids_in, seg_in, live_in, pairs_in, nid_in, out_ref,
-            ids_ref, seg_ref, live_ref, dma_sems, *, R: int, M: int):
+            ids_ref, seg_ref, live_ref, a_ref, b_ref, dma_sems,
+            *, R: int, M: int):
     for k, (src, dst) in enumerate(((ids_in, ids_ref), (seg_in, seg_ref),
                                     (live_in, live_ref))):
         pltpu.make_async_copy(src, dst, dma_sems.at[k]).start()
@@ -44,7 +58,20 @@ def _kernel(ids_in, seg_in, live_in, pairs_in, nid_in, out_ref,
                                     (live_in, live_ref))):
         pltpu.make_async_copy(src, dst, dma_sems.at[k]).wait()
 
-    def round_body(r, _):
+    T = R // SCAN_TILE_ROWS
+    tiled = R > TILED_MIN_R
+
+    def round_tiled(r, _):
+        pa = pairs_in[r, 0]
+        pb = pairs_in[r, 1]
+        nid = nid_in[r, 0]
+        tiled_adjacency(ids_ref, seg_ref, live_ref, a_ref, b_ref, T)
+        tiled_apply(ids_ref, live_ref, a_ref, b_ref, pa, pb, nid, T)
+        return 0
+
+    def round_plane(r, _):
+        # whole-plane value-scan round: same algorithm as the tiled passes,
+        # one (R, C) vector program per scan instead of T serialized tiles
         ids = ids_ref[:]
         seg = seg_ref[:]
         live = live_ref[:]
@@ -65,70 +92,106 @@ def _kernel(ids_in, seg_in, live_in, pairs_in, nid_in, out_ref,
         live_ref[:] = jnp.where(k_prv == 1, 0, live)
         return 0
 
-    jax.lax.fori_loop(0, M, round_body, 0)
+    jax.lax.fori_loop(0, M, round_tiled if tiled else round_plane, 0)
 
-    # compacted output: new position of each live token = cumsum(live) - 1,
-    # emitted as (position, id) planes; the host does the final dense gather
-    live = live_ref[:]
-    pos = _cumsum_flat(live) - 1
-    out_ref[0] = jnp.where(live == 1, pos, -1)
-    out_ref[1] = ids_ref[:]
+    # tombstone the dead positions and ship the single result plane out
+    if tiled:
+        tiled_mask_dead(ids_ref, live_ref, T)
+    else:
+        ids_ref[:] = jnp.where(live_ref[:] == 1, ids_ref[:], -1)
+    pltpu.make_async_copy(ids_ref, out_ref, dma_sems.at[0]).start()
+    pltpu.make_async_copy(ids_ref, out_ref, dma_sems.at[0]).wait()
 
 
-@functools.partial(jax.jit, static_argnames=("M", "interpret"))
+@functools.partial(jax.jit, static_argnames=("M", "narrow", "interpret"))
 def _fused_encode_raw(ids2, seg2, live2, pairs, nids, M: int,
-                      interpret: bool = False):
+                      narrow: bool = False, interpret: bool = False):
     R = ids2.shape[0]
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_kernel, R=R, M=M),
-        out_shape=jax.ShapeDtypeStruct((2, R, C), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((R, C), jnp.int32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((R, C), jnp.int32),
-            pltpu.VMEM((R, C), jnp.int32),
-            pltpu.VMEM((R, C), jnp.int32),
+            pltpu.VMEM((R, C), jnp.int32),  # ids
+            pltpu.VMEM((R, C), jnp.int32),  # seg
+            pltpu.VMEM((R, C), jnp.int32),  # live
+            pltpu.VMEM((R, C), jnp.int32),  # a (masked left ids)
+            pltpu.VMEM((R, C), jnp.int32),  # b (masked next-live ids)
             pltpu.SemaphoreType.DMA((3,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
     )(ids2, seg2, live2, pairs, nids)
+    # narrow the result plane before it crosses the wire (ids < 2^15 for
+    # every table this kernel accepts; -1 tombstones survive int16)
+    return out.astype(jnp.int16) if narrow else out
 
 
-def encode_fused(ids, seg, n, merge_pairs, merge_new_ids,
-                 interpret: bool = False):
-    """Encode a packed stream against a rank-ordered merge table; returns
-    (token ids as numpy array)."""
+def _rows_for(n: int) -> int:
+    R = -(-max(n, 1) // C)
+    return -(-R // SCAN_TILE_ROWS) * SCAN_TILE_ROWS
+
+
+def _pack_table(merge_pairs, merge_new_ids):
     import numpy as np
-
-    N = ids.shape[0]
-    R = -(-N // C)
-    R = max(8, -(-R // 8) * 8)
-    pad = R * C - N
-    idx = jnp.arange(N, dtype=jnp.int32)
-    live = (idx < n).astype(jnp.int32)
-    ids2 = jnp.pad(jnp.asarray(ids), (0, pad), constant_values=-1).reshape(R, C)
-    seg2 = jnp.pad(jnp.asarray(seg), (0, pad), constant_values=-2).reshape(R, C)
-    live2 = jnp.pad(live, (0, pad)).reshape(R, C)
 
     M = len(merge_pairs)
     Mp = max(8, -(-M // 8) * 8)
-    pairs = np.full((Mp, 128), -1, dtype=np.int32)
+    # pad fill is -2, NOT -1: the a/b adjacency planes mark non-countable
+    # positions with -1, so a (-1, -1) pad row would falsely match them in
+    # tiled_apply (real pair ids are always >= 0)
+    pairs = np.full((Mp, 128), -2, dtype=np.int32)
     nids = np.full((Mp, 128), -1, dtype=np.int32)
     if M:
         pairs[:M, 0] = np.asarray(merge_pairs)[:, 0]
         pairs[:M, 1] = np.asarray(merge_pairs)[:, 1]
         nids[:M, 0] = np.asarray(merge_new_ids)
-    out = _fused_encode_raw(ids2, seg2, live2, jnp.asarray(pairs),
-                            jnp.asarray(nids), max(M, 1),
+    return jnp.asarray(pairs), jnp.asarray(nids), M
+
+
+def _finish(out) -> "np.ndarray":
+    import numpy as np
+
+    vals = np.asarray(out).reshape(-1)
+    return vals[vals >= 0].astype(np.int32)  # live ids in flat order
+
+
+def _narrow(nids) -> bool:
+    import numpy as np
+
+    nids = np.asarray(nids)
+    return nids.size == 0 or int(nids.max()) < 2 ** 15
+
+
+def encode_fused(ids, seg, n, merge_pairs, merge_new_ids,
+                 interpret: bool = False):
+    """Encode a packed stream against a rank-ordered merge table; returns
+    token ids as a numpy array."""
+    R = _rows_for(ids.shape[0])
+    ids2, seg2, live2 = _prep_planes(jnp.asarray(ids), jnp.asarray(seg),
+                                     jnp.asarray(n), R)
+    pairs, nids, M = _pack_table(merge_pairs, merge_new_ids)
+    out = _fused_encode_raw(ids2, seg2, live2, pairs, nids, max(M, 1),
+                            narrow=_narrow(merge_new_ids),
                             interpret=interpret)
-    out = np.asarray(out)
-    pos = out[0].reshape(-1)
-    vals = out[1].reshape(-1)
-    mask = pos >= 0
-    result = np.empty(int(mask.sum()), dtype=np.int32)
-    result[pos[mask]] = vals[mask]
-    return result
+    return _finish(out)
+
+
+def encode_fused_bytes(data, ends, n, merge_pairs, merge_new_ids,
+                       interpret: bool = False):
+    """Same contract as encode_fused, fed by raw corpus bytes + chunk-end
+    offsets: planes are built on device, cutting host->device wire traffic
+    ~8x vs shipping two int32 planes (the tunnel transport is the encode
+    path's main cost at bench scale)."""
+    R = _rows_for(data.shape[0])
+    ids2, seg2, live2 = _prep_from_bytes(jnp.asarray(data), jnp.asarray(ends),
+                                         jnp.asarray(n), R)
+    pairs, nids, M = _pack_table(merge_pairs, merge_new_ids)
+    out = _fused_encode_raw(ids2, seg2, live2, pairs, nids, max(M, 1),
+                            narrow=_narrow(merge_new_ids),
+                            interpret=interpret)
+    return _finish(out)

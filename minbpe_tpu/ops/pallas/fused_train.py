@@ -211,6 +211,115 @@ def _select_scan_rev_exclusive(ss, vs, fills):
 
 
 # ---------------------------------------------------------------------------
+# tiled sequential passes (shared by the fused trainer and fused encoder):
+# each pass walks (SCAN_TILE_ROWS, C) row-tiles in stream order with SCALAR
+# carries, doing the log-step doubling scans on the in-register tile values.
+# The VPU processes vregs one at a time either way, so tile-serialization
+# costs nothing — but whole-plane scans write every doubling step back to
+# VMEM (~20 plane passes per round), while tiled scans touch each plane
+# twice (load + store).
+# ---------------------------------------------------------------------------
+
+def _tile_flat_iota():
+    TRS = SCAN_TILE_ROWS
+    return jax.lax.broadcasted_iota(jnp.int32, (TRS, C), 0) * C + \
+        jax.lax.broadcasted_iota(jnp.int32, (TRS, C), 1)
+
+
+def _tile_last(v):
+    """Scalar at the tile's last flat position."""
+    return jnp.max(v[SCAN_TILE_ROWS - 1:SCAN_TILE_ROWS, C - 1:C])
+
+
+def _tile_pick(v, tflat, p, fill):
+    """Scalar at dynamic flat tile position p (masked reduce)."""
+    return jnp.max(jnp.where(tflat == p, v, fill))
+
+
+def tiled_adjacency(ids_ref, seg_ref, live_ref, a_ref, b_ref, T):
+    """Reverse pass: a/b = (id, next-live id) masked to countable pairs
+    (same segment, both live) — the array form of adjacent-pair counting
+    over chunk lists (minbpe/regex.py:52-54)."""
+    TRS = SCAN_TILE_ROWS
+    tflat = _tile_flat_iota()
+
+    def body(tt, carry):
+        t = T - 1 - tt
+        cid, cseg = carry  # id/seg of the first live position after tile
+        sl = pl.ds(t * TRS, TRS)
+        ids_t = ids_ref[sl, :]
+        seg_t = seg_ref[sl, :]
+        live_t = live_ref[sl, :]
+        s, nli, nls = _select_scan_rev_exclusive(
+            live_t, (ids_t, seg_t), (-1, -2))
+        nli = jnp.where(s == 1, nli, cid)
+        nls = jnp.where(s == 1, nls, cseg)
+        valid = (live_t == 1) & (nli >= 0) & (seg_t == nls)
+        a_ref[sl, :] = jnp.where(valid, ids_t, -1)
+        b_ref[sl, :] = jnp.where(valid, nli, -1)
+        # carry': first live position in this tile, if any
+        fl = jnp.min(jnp.where(live_t == 1, tflat, INT32_MAX))
+        any_live = fl < INT32_MAX
+        return (jnp.where(any_live, _tile_pick(ids_t, tflat, fl, -2**31),
+                          cid),
+                jnp.where(any_live, _tile_pick(seg_t, tflat, fl, -2**31),
+                          cseg))
+
+    jax.lax.fori_loop(0, T, body, (jnp.int32(-1), jnp.int32(-2)))
+
+
+def tiled_apply(ids_ref, live_ref, a_ref, b_ref, pa, pb, new_id, T):
+    """Forward pass: apply the merge (pa, pb) -> new_id with the reference's
+    left-first overlap rule (minbpe/base.py:25-41) — keep = match whose
+    chain distance from its run start is even; kill the token consumed
+    by a kept match (the next live one)."""
+    TRS = SCAN_TILE_ROWS
+    tflat = _tile_flat_iota()
+
+    def body(t, carry):
+        mc, cc, rc, kc = carry
+        sl = pl.ds(t * TRS, TRS)
+        live_t = live_ref[sl, :]
+        ids_t = ids_ref[sl, :]
+        m = ((a_ref[sl, :] == pa) & (b_ref[sl, :] == pb)).astype(jnp.int32)
+        s2, mprv = _select_scan_fwd_exclusive(live_t, m, 0)
+        mprv = jnp.where(s2 == 1, mprv, mc)
+        new_run = m * (1 - mprv)
+        chain = _cumsum_flat(live_t) + cc
+        s4, cps = _select_scan_fwd(new_run, chain, 0)
+        cps = jnp.where(s4 == 1, cps, rc)
+        keep = ((m == 1) & (((chain - cps) & 1) == 0)).astype(jnp.int32)
+        s5, kprv = _select_scan_fwd_exclusive(live_t, keep, 0)
+        kprv = jnp.where(s5 == 1, kprv, kc)
+        ids_ref[sl, :] = jnp.where(keep == 1, new_id, ids_t)
+        live_ref[sl, :] = jnp.where(kprv == 1, 0, live_t)
+        # carries: chain total; m/keep at the tile's last live position;
+        # run-start chainpos if any run started in this tile
+        fl = jnp.max(jnp.where(live_t == 1, tflat, -1))
+        has = fl >= 0
+        return (jnp.where(has, _tile_pick(m, tflat, fl, -2**31), mc),
+                _tile_last(chain),
+                jnp.where(_tile_last(s4) == 1, _tile_last(cps), rc),
+                jnp.where(has, _tile_pick(keep, tflat, fl, -2**31), kc))
+
+    jax.lax.fori_loop(
+        0, T, body,
+        (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+
+
+def tiled_mask_dead(ids_ref, live_ref, T):
+    """ids -> -1 wherever not live (tombstones for host/driver compaction)."""
+    TRS = SCAN_TILE_ROWS
+
+    def body(t, _):
+        sl = pl.ds(t * TRS, TRS)
+        ids_ref[sl, :] = jnp.where(live_ref[sl, :] == 1, ids_ref[sl, :], -1)
+        return 0
+
+    jax.lax.fori_loop(0, T, body, 0)
+
+
+# ---------------------------------------------------------------------------
 # the kernel
 # ---------------------------------------------------------------------------
 
@@ -320,88 +429,8 @@ def _kernel(ids_in, seg_in, live_in, out_ref, ids_out, seg_out,
 
         return jax.lax.fori_loop(0, T, body, jnp.int32(INT32_MAX))
 
-    # ------------------------------------------------------------------
-    # sequential tiled scans: each pass walks (TRS, C) row-tiles in stream
-    # order with SCALAR carries, doing the log-step doubling scans on the
-    # in-register tile values. The VPU processes vregs one at a time either
-    # way, so tile-serialization costs nothing — but whole-plane scans
-    # write every doubling step back to VMEM (~20 plane passes per round),
-    # while tiled scans touch each plane twice (load + store).
-    # ------------------------------------------------------------------
-    def _last(v):
-        """Scalar at the tile's last flat position."""
-        return jnp.max(v[TRS - 1:TRS, C - 1:C])
-
-    def _pick_at(v, p, fill):
-        """Scalar at dynamic flat tile position p (masked reduce)."""
-        return jnp.max(jnp.where(tflat == p, v, fill))
-
-    def pass_adjacency():
-        """Reverse pass: a/b = (id, next-live id) masked to countable pairs
-        (same segment, both live) — the array form of adjacent-pair counting
-        over chunk lists (minbpe/regex.py:52-54)."""
-
-        def body(tt, carry):
-            t = T - 1 - tt
-            cid, cseg = carry  # id/seg of the first live position after tile
-            sl = pl.ds(t * TRS, TRS)
-            ids_t = ids_ref[sl, :]
-            seg_t = seg_ref[sl, :]
-            live_t = live_ref[sl, :]
-            s, nli, nls = _select_scan_rev_exclusive(
-                live_t, (ids_t, seg_t), (-1, -2))
-            nli = jnp.where(s == 1, nli, cid)
-            nls = jnp.where(s == 1, nls, cseg)
-            valid = (live_t == 1) & (nli >= 0) & (seg_t == nls)
-            a_ref[sl, :] = jnp.where(valid, ids_t, -1)
-            b_ref[sl, :] = jnp.where(valid, nli, -1)
-            # carry': first live position in this tile, if any
-            fl = jnp.min(jnp.where(live_t == 1, tflat, INT32_MAX))
-            any_live = fl < INT32_MAX
-            return (jnp.where(any_live, _pick_at(ids_t, fl, -2**31), cid),
-                    jnp.where(any_live, _pick_at(seg_t, fl, -2**31), cseg))
-
-        jax.lax.fori_loop(0, T, body, (jnp.int32(-1), jnp.int32(-2)))
-
-    def pass_apply(pa, pb, new_id):
-        """Forward pass: apply the picked merge with the reference's
-        left-first overlap rule (minbpe/base.py:25-41) — keep = match whose
-        chain distance from its run start is even; kill the token consumed
-        by a kept match (the next live one)."""
-
-        def body(t, carry):
-            mc, cc, rc, kc = carry
-            sl = pl.ds(t * TRS, TRS)
-            live_t = live_ref[sl, :]
-            ids_t = ids_ref[sl, :]
-            m = ((a_ref[sl, :] == pa) & (b_ref[sl, :] == pb)).astype(
-                jnp.int32)
-            s2, mprv = _select_scan_fwd_exclusive(live_t, m, 0)
-            mprv = jnp.where(s2 == 1, mprv, mc)
-            new_run = m * (1 - mprv)
-            chain = _cumsum_flat(live_t) + cc
-            s4, cps = _select_scan_fwd(new_run, chain, 0)
-            cps = jnp.where(s4 == 1, cps, rc)
-            keep = ((m == 1) & (((chain - cps) & 1) == 0)).astype(jnp.int32)
-            s5, kprv = _select_scan_fwd_exclusive(live_t, keep, 0)
-            kprv = jnp.where(s5 == 1, kprv, kc)
-            ids_ref[sl, :] = jnp.where(keep == 1, new_id, ids_t)
-            live_ref[sl, :] = jnp.where(kprv == 1, 0, live_t)
-            # carries: chain total; m/keep at the tile's last live position;
-            # run-start chainpos if any run started in this tile
-            fl = jnp.max(jnp.where(live_t == 1, tflat, -1))
-            has = fl >= 0
-            return (jnp.where(has, _pick_at(m, fl, -2**31), mc),
-                    _last(chain),
-                    jnp.where(_last(s4) == 1, _last(cps), rc),
-                    jnp.where(has, _pick_at(keep, fl, -2**31), kc))
-
-        jax.lax.fori_loop(
-            0, T, body,
-            (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0)))
-
     def round_body(i, fail):
-        pass_adjacency()
+        tiled_adjacency(ids_ref, seg_ref, live_ref, a_ref, b_ref, T)
 
         counts = count_matrix()
         maxc = jnp.max(counts)
@@ -465,7 +494,8 @@ def _kernel(ids_in, seg_in, live_in, out_ref, ids_out, seg_out,
         ok = (maxc > 0) & (fail >= i)
 
         def do(fail):
-            pass_apply(pa, pb, jnp.int32(256 + r0) + i)
+            tiled_apply(ids_ref, live_ref, a_ref, b_ref, pa, pb,
+                        jnp.int32(256 + r0) + i, T)
             # record the round
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
             row = jnp.where(lane == 0, pa,
@@ -486,12 +516,7 @@ def _kernel(ids_in, seg_in, live_in, out_ref, ids_out, seg_out,
 
     # write the final stream state back to HBM (consumed tokens become -1 so
     # the staged driver can compact without a separate live plane)
-    def _mask_dead(t, _):
-        sl = pl.ds(t * TRS, TRS)
-        ids_ref[sl, :] = jnp.where(live_ref[sl, :] == 1, ids_ref[sl, :], -1)
-        return 0
-
-    jax.lax.fori_loop(0, T, _mask_dead, 0)
+    tiled_mask_dead(ids_ref, live_ref, T)
     for src, dst, k in ((ids_ref, ids_out, 0), (seg_ref, seg_out, 1)):
         pltpu.make_async_copy(src, dst, dma_sems.at[k]).start()
     for src, dst, k in ((ids_ref, ids_out, 0), (seg_ref, seg_out, 1)):
