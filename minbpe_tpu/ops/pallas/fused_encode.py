@@ -181,6 +181,35 @@ def encode_fused(ids, seg, n, merge_pairs, merge_new_ids,
     return _finish(out)
 
 
+@functools.partial(jax.jit, static_argnames=("R",))
+def _prep_from_data_seg(data, seg, n, R: int):
+    """Planes from device-resident corpus bytes + per-byte segment ids (the
+    device pre-splitter's output, ops/device_presplit.py)."""
+    N = R * C
+    iota = jnp.arange(N, dtype=jnp.int32)
+    pad = N - data.shape[0]
+    d = jnp.pad(data.astype(jnp.int32), (0, pad))
+    s = jnp.pad(seg, (0, pad))
+    live = iota < n
+    ids2 = jnp.where(live, d, -1)
+    seg2 = jnp.where(live, s, -2)
+    return (ids2.reshape(R, C), seg2.reshape(R, C),
+            live.astype(jnp.int32).reshape(R, C))
+
+
+def encode_fused_planes(data, seg, n, merge_pairs, merge_new_ids,
+                        interpret: bool = False):
+    """encode_fused fed by device-resident bytes + per-byte segment ids —
+    the zero-host-scan path (device pre-split upstream)."""
+    R = _rows_for(data.shape[0])
+    ids2, seg2, live2 = _prep_from_data_seg(data, seg, jnp.int32(n), R)
+    pairs, nids, M = _pack_table(merge_pairs, merge_new_ids)
+    out = _fused_encode_raw(ids2, seg2, live2, pairs, nids, max(M, 1),
+                            narrow=_narrow(merge_new_ids),
+                            interpret=interpret)
+    return _finish(out)
+
+
 def encode_fused_bytes(data, ends, n, merge_pairs, merge_new_ids,
                        interpret: bool = False):
     """Same contract as encode_fused, fed by raw corpus bytes + chunk-end

@@ -113,7 +113,12 @@ class RegexTokenizer(Tokenizer):
     # -- encode -------------------------------------------------------------
     def encode_ordinary(self, text: str) -> list[int]:
         """Encode ignoring special tokens (minbpe/regex.py:111-121). The whole
-        chunked text goes to device as one segmented stream."""
+        chunked text goes to device as one segmented stream; for the known
+        GPT patterns even the pre-split runs on device (only raw bytes cross
+        the wire)."""
+        out = engine.encode_text_device_split(self, text)
+        if out is not None:
+            return out
         data, ends = self._split_arrays(text)
         return engine.encode_offsets(self, data, ends)
 
