@@ -32,20 +32,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fused_train import (
-    C, SCAN_TILE_ROWS, _cumsum_flat, _prep_from_bytes, _prep_planes,
-    _select_scan_fwd, _select_scan_fwd_exclusive, _select_scan_rev_exclusive,
-    tiled_adjacency, tiled_apply, tiled_mask_dead,
+    C, SCAN_TILE_ROWS, TILED_MIN_R, _cumsum_flat, _prep_from_bytes,
+    _prep_planes, _select_scan_fwd, _select_scan_fwd_exclusive,
+    _select_scan_rev_exclusive, tiled_adjacency, tiled_apply,
+    tiled_mask_dead,
 )
 
 FUSED_ENCODE_MAX_N = 1 << 22
 FUSED_ENCODE_MAX_M = 2048
-
-# Above this many rows the round body switches from whole-plane value scans
-# (fastest at small R: ~14 doubling steps over wide vectors, no serialized
-# carries) to the tile-sequential passes (bounded VMEM transients: value
-# scans keep O(log) whole-plane SSA live ranges, which the Mosaic allocator
-# turns into hundreds of MB at R ~ 2^15).
-TILED_MIN_R = 4096
 
 
 def _kernel(ids_in, seg_in, live_in, pairs_in, nid_in, out_ref,

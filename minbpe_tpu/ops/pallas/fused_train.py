@@ -307,6 +307,40 @@ def tiled_apply(ids_ref, live_ref, a_ref, b_ref, pa, pb, new_id, T):
         (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0)))
 
 
+# Below this many rows, whole-plane value scans beat the tiled passes: the
+# scans are ~14 doubling steps over wide vectors with no serialized scalar
+# carries, and at small R the Mosaic allocator's transient live ranges fit
+# VMEM comfortably. (Measured on v5e: ~35% less per-round scan time at
+# R ~ 1.5K; the crossover concern is purely VMEM growth, which is O(R log).)
+TILED_MIN_R = 4096
+
+
+def plane_adjacency(ids_ref, seg_ref, live_ref, a_ref, b_ref):
+    """Whole-plane value-scan form of tiled_adjacency (small-R fast path)."""
+    ids = ids_ref[:]
+    seg = seg_ref[:]
+    live = live_ref[:]
+    _, nli, nls = _select_scan_rev_exclusive(live, (ids, seg), (-1, -2))
+    valid = (live == 1) & (nli >= 0) & (seg == nls)
+    a_ref[:] = jnp.where(valid, ids, -1)
+    b_ref[:] = jnp.where(valid, nli, -1)
+
+
+def plane_apply(ids_ref, live_ref, a_ref, b_ref, pa, pb, new_id):
+    """Whole-plane value-scan form of tiled_apply (small-R fast path)."""
+    ids = ids_ref[:]
+    live = live_ref[:]
+    m = ((a_ref[:] == pa) & (b_ref[:] == pb)).astype(jnp.int32)
+    _, m_prv = _select_scan_fwd_exclusive(live, m, 0)
+    new_run = m * (1 - m_prv)
+    chainpos = _cumsum_flat(live)
+    _, cps = _select_scan_fwd(new_run, chainpos, 0)
+    keep = (m == 1) & (((chainpos - cps) & 1) == 0)
+    _, k_prv = _select_scan_fwd_exclusive(live, keep.astype(jnp.int32), 0)
+    ids_ref[:] = jnp.where(keep, new_id, ids)
+    live_ref[:] = jnp.where(k_prv == 1, 0, live)
+
+
 def tiled_mask_dead(ids_ref, live_ref, T):
     """ids -> -1 wherever not live (tombstones for host/driver compaction)."""
     TRS = SCAN_TILE_ROWS
@@ -323,7 +357,7 @@ def tiled_mask_dead(ids_ref, live_ref, T):
 # the kernel
 # ---------------------------------------------------------------------------
 
-def _kernel(ids_in, seg_in, live_in, out_ref, ids_out, seg_out,
+def _kernel(ids_in, seg_in, live_in, ctl_in, out_ref, ids_out, seg_out,
             ids_ref, seg_ref, live_ref,
             a_ref, b_ref, dma_sems,
             *, R: int, V: int, M: int, r0: int):
@@ -334,6 +368,11 @@ def _kernel(ids_in, seg_in, live_in, out_ref, ids_out, seg_out,
     for src, dst, k in ((ids_in, ids_ref, 0), (seg_in, seg_ref, 1),
                         (live_in, live_ref, 2)):
         pltpu.make_async_copy(src, dst, dma_sems.at[k]).wait()
+
+    # chained control state (lets segments run back-to-back with no host
+    # round trip): [0,0] = GLOBAL fail round so far, [1,0] = live token count
+    fail_in = ctl_in[0, 0]
+    n_live = ctl_in[1, 0]
 
     TRS = SCAN_TILE_ROWS
     T = R // TRS
@@ -361,22 +400,28 @@ def _kernel(ids_in, seg_in, live_in, out_ref, ids_out, seg_out,
     def count_matrix():
         """counts[x, y] = #positions with (a, b) == (x, y); -1 entries skip.
         int8 one-hots drive the MXU's double-rate int8 path; exact int32
-        accumulation (products are 0/1)."""
+        accumulation (products are 0/1). Tiles past the live prefix (the
+        stream is kept front-compacted between segments) are skipped."""
         acc = jnp.zeros((V, V), jnp.int32)
 
         def tile_body(t, acc):
-            at = a_ref[pl.ds(t * TILE_ROWS, TILE_ROWS), :].T
-            bt = b_ref[pl.ds(t * TILE_ROWS, TILE_ROWS), :].T
+            def work(acc):
+                at = a_ref[pl.ds(t * TILE_ROWS, TILE_ROWS), :].T
+                bt = b_ref[pl.ds(t * TILE_ROWS, TILE_ROWS), :].T
 
-            def grp_body(g, acc):
-                A = one_hot_group(at, g * GROUP)
-                B = one_hot_group(bt, g * GROUP)
-                return acc + jax.lax.dot_general(
-                    A, B, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )
+                def grp_body(g, acc):
+                    A = one_hot_group(at, g * GROUP)
+                    B = one_hot_group(bt, g * GROUP)
+                    return acc + jax.lax.dot_general(
+                        A, B, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
 
-            return jax.lax.fori_loop(0, TILE_ROWS // GROUP, grp_body, acc)
+                return jax.lax.fori_loop(0, TILE_ROWS // GROUP, grp_body,
+                                         acc)
+
+            return jax.lax.cond(t * TILE_ELEMS < n_live, work,
+                                lambda a: a, acc)
 
         return jax.lax.fori_loop(0, n_tiles, tile_body, acc)
 
@@ -385,24 +430,30 @@ def _kernel(ids_in, seg_in, live_in, out_ref, ids_out, seg_out,
         best = jnp.int32(INT32_MAX)
 
         def tile_body(t, best):
-            at = a_ref[pl.ds(t * TILE_ROWS, TILE_ROWS), :].T
-            bt = b_ref[pl.ds(t * TILE_ROWS, TILE_ROWS), :].T
+            def work(best):
+                at = a_ref[pl.ds(t * TILE_ROWS, TILE_ROWS), :].T
+                bt = b_ref[pl.ds(t * TILE_ROWS, TILE_ROWS), :].T
 
-            def grp_body(g, best):
-                A = one_hot_group(at, g * GROUP)
-                B = one_hot_group(bt, g * GROUP)
-                sel = jax.lax.dot_general(
-                    A, tied_f, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )
-                hit = jnp.sum(sel * B.astype(jnp.int32), axis=1,
-                              keepdims=True)  # (GC, 1)
-                base = (t * TILE_ROWS + g * GROUP) * C
-                fidx = base + jax.lax.broadcasted_iota(jnp.int32, (GC, 1), 0)
-                cand = jnp.min(jnp.where(hit > 0, fidx, INT32_MAX))
-                return jnp.minimum(best, cand)
+                def grp_body(g, best):
+                    A = one_hot_group(at, g * GROUP)
+                    B = one_hot_group(bt, g * GROUP)
+                    sel = jax.lax.dot_general(
+                        A, tied_f, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    hit = jnp.sum(sel * B.astype(jnp.int32), axis=1,
+                                  keepdims=True)  # (GC, 1)
+                    base = (t * TILE_ROWS + g * GROUP) * C
+                    fidx = base + jax.lax.broadcasted_iota(
+                        jnp.int32, (GC, 1), 0)
+                    cand = jnp.min(jnp.where(hit > 0, fidx, INT32_MAX))
+                    return jnp.minimum(best, cand)
 
-            return jax.lax.fori_loop(0, TILE_ROWS // GROUP, grp_body, best)
+                return jax.lax.fori_loop(0, TILE_ROWS // GROUP, grp_body,
+                                         best)
+
+            return jax.lax.cond(t * TILE_ELEMS < n_live, work,
+                                lambda b: b, best)
 
         return jax.lax.fori_loop(0, n_tiles, tile_body, best)
 
@@ -429,8 +480,13 @@ def _kernel(ids_in, seg_in, live_in, out_ref, ids_out, seg_out,
 
         return jax.lax.fori_loop(0, T, body, jnp.int32(INT32_MAX))
 
+    tiled = R > TILED_MIN_R
+
     def round_body(i, fail):
-        tiled_adjacency(ids_ref, seg_ref, live_ref, a_ref, b_ref, T)
+        if tiled:
+            tiled_adjacency(ids_ref, seg_ref, live_ref, a_ref, b_ref, T)
+        else:
+            plane_adjacency(ids_ref, seg_ref, live_ref, a_ref, b_ref)
 
         counts = count_matrix()
         maxc = jnp.max(counts)
@@ -491,11 +547,16 @@ def _kernel(ids_in, seg_in, live_in, out_ref, ids_out, seg_out,
                                 None)
 
         pa, pb = jax.lax.cond(n_tied == 1, pick_unique, pick_tied_any, None)
-        ok = (maxc > 0) & (fail >= i)
+        # fail is GLOBAL (carried across segments through ctl)
+        ok = (maxc > 0) & (fail >= jnp.int32(r0) + i)
 
         def do(fail):
-            tiled_apply(ids_ref, live_ref, a_ref, b_ref, pa, pb,
-                        jnp.int32(256 + r0) + i, T)
+            if tiled:
+                tiled_apply(ids_ref, live_ref, a_ref, b_ref, pa, pb,
+                            jnp.int32(256 + r0) + i, T)
+            else:
+                plane_apply(ids_ref, live_ref, a_ref, b_ref, pa, pb,
+                            jnp.int32(256 + r0) + i)
             # record the round
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
             row = jnp.where(lane == 0, pa,
@@ -506,17 +567,21 @@ def _kernel(ids_in, seg_in, live_in, out_ref, ids_out, seg_out,
 
         def skip(fail):
             out_ref[pl.ds(i, 1), :] = jnp.zeros((1, C), jnp.int32)
-            return jnp.where(maxc > 0, fail, jnp.minimum(fail, i))
+            return jnp.where(maxc > 0, fail,
+                             jnp.minimum(fail, jnp.int32(r0) + i))
 
         return jax.lax.cond(ok, do, skip, fail)
 
-    fail = jax.lax.fori_loop(0, M, round_body, jnp.int32(M))
+    fail = jax.lax.fori_loop(0, M, round_body, fail_in)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
     out_ref[pl.ds(M, 1), :] = jnp.where(lane == 0, fail, 0)
 
     # write the final stream state back to HBM (consumed tokens become -1 so
     # the staged driver can compact without a separate live plane)
-    tiled_mask_dead(ids_ref, live_ref, T)
+    if tiled:
+        tiled_mask_dead(ids_ref, live_ref, T)
+    else:
+        ids_ref[:] = jnp.where(live_ref[:] == 1, ids_ref[:], -1)
     for src, dst, k in ((ids_ref, ids_out, 0), (seg_ref, seg_out, 1)):
         pltpu.make_async_copy(src, dst, dma_sems.at[k]).start()
     for src, dst, k in ((ids_ref, ids_out, 0), (seg_ref, seg_out, 1)):
@@ -584,7 +649,7 @@ def _compact_planes(ids2, seg2, R2: int):
 
 
 @functools.partial(jax.jit, static_argnames=("R", "V", "m", "r0", "interpret"))
-def _run_segment(ids2, seg2, live2, R: int, V: int, m: int, r0: int,
+def _run_segment(ids2, seg2, live2, ctl, R: int, V: int, m: int, r0: int,
                  interpret: bool = False):
     """One kernel launch covering merge rounds [r0, r0 + m)."""
     Mp = -(-(m + 1) // 8) * 8
@@ -595,7 +660,8 @@ def _run_segment(ids2, seg2, live2, R: int, V: int, m: int, r0: int,
             jax.ShapeDtypeStruct((R, C), jnp.int32),
             jax.ShapeDtypeStruct((R, C), jnp.int32),
         ],
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -616,7 +682,7 @@ def _run_segment(ids2, seg2, live2, R: int, V: int, m: int, r0: int,
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(ids2, seg2, live2)
+    )(ids2, seg2, live2, ctl)
     return out, ids_out, seg_out
 
 
@@ -662,46 +728,51 @@ def train_merges_fused_bytes(data, ends, n, num_merges: int,
                               interpret)
 
 
+@functools.partial(jax.jit, static_argnames=("plan", "interpret"))
+def _train_staged(ids2, seg2, live2, n, plan, interpret: bool = False):
+    """All merge segments in ONE dispatch: segments chain on device through
+    a tiny ctl plane (global fail round + live count), the stream is
+    front-compacted between segments at constant R, and dead tail tiles are
+    skipped dynamically inside the kernel. The host syncs exactly once, on
+    the final merge log — on tunneled backends each host<->device round trip
+    costs ~20-25 ms, which used to dominate the whole training run."""
+    R = ids2.shape[0]
+    M_total = plan[-1][0] + plan[-1][1]
+    fail = jnp.int32(M_total)
+    n_live = jnp.asarray(n, jnp.int32)
+    outs = []
+    for k, (r0, m, V) in enumerate(plan):
+        ctl = jnp.zeros((8, C), jnp.int32).at[0, 0].set(fail).at[1, 0].set(
+            n_live)
+        out, ids_next, seg_next = _run_segment(ids2, seg2, live2, ctl,
+                                               R, V, m, r0, interpret)
+        outs.append(out[:m])
+        fail = out[m, 0]
+        if k + 1 < len(plan):
+            # tokens consumed this segment = one per merge occurrence
+            # (column 2 of the merge log)
+            n_live = n_live - jnp.sum(out[:m, 2])
+            ids2, seg2, live2 = _compact_planes(ids_next, seg_next, R)
+        else:
+            outs.append(out[m:m + 1])  # fail row rides along: one readback
+    return jnp.concatenate(outs, axis=0)
+
+
 def _train_from_planes(ids2, seg2, live2, n: int, num_merges: int,
                        interpret: bool):
     import numpy as np
 
     M = num_merges
-    R = ids2.shape[0]
     if M == 0:
         return (np.zeros((0, 2), np.int32), np.zeros((0,), np.int32), 0)
 
-    outs = []
-    fail = M
-    n_live = None  # host-side live count; None until first segment read back
+    plan = []
     r0 = 0
     while r0 < M:
         m = min(SEG_ROUNDS, M - r0)
-        V = 256 + r0 + m
-        out, ids_next, seg_next = _run_segment(ids2, seg2, live2, R, V, m, r0,
-                                               interpret)
-        out_h = np.asarray(out)  # sync point (once per 128 rounds)
-        outs.append(out_h[:m])
-        seg_fail = int(out_h[m, 0])
-        if seg_fail < m:
-            fail = r0 + seg_fail
-            break
+        plan.append((r0, m, 256 + r0 + m))
         r0 += m
-        if r0 >= M:
-            break
-        # compact: live count after this segment = previous live - tokens
-        # consumed (one per merge occurrence, column 2 of the merge log)
-        if n_live is None:
-            n_live = n
-        n_live -= int(out_h[:m, 2].sum())
-        R2 = _rows_for(fused_capacity(max(n_live, 1)))
-        ids2, seg2, live2 = _compact_planes(ids_next, seg_next, R2)
-        R = R2
-
-    pairs = np.concatenate([o[:, 0:2] for o in outs], axis=0)
-    counts = np.concatenate([o[:, 2] for o in outs], axis=0)
-    if pairs.shape[0] < M:  # exhausted mid-plan: pad with zero rows
-        pad = M - pairs.shape[0]
-        pairs = np.concatenate([pairs, np.zeros((pad, 2), np.int32)])
-        counts = np.concatenate([counts, np.zeros((pad,), np.int32)])
-    return pairs, counts, fail
+    out = _train_staged(ids2, seg2, live2, n, tuple(plan), interpret)
+    out_h = np.asarray(out)  # the one sync point of the whole training run
+    return (out_h[:M, 0:2].copy(), out_h[:M, 2].copy(),
+            int(out_h[M, 0]))
