@@ -61,8 +61,10 @@ def run_train(ids, seg, n, num_merges: int, verbose: bool = False,
     256+round, vocab entries are concatenations of the children's bytes, and
     verbose prints one line per round in the reference's format.
 
-    select_mode "auto" picks the host-stepped incremental-count loop for
-    small vocabs and the sort-based whole-run loop otherwise (all exact).
+    select_mode "auto" picks the fused Pallas kernel when it applies, the
+    host-stepped dense incremental-count loop for small vocabs, and the
+    sparse slot-table incremental loop (ops/train_sparse.py) for large
+    vocabs (all exact; "sort" remains available explicitly).
     Optional: resumable checkpoints (checkpoint_path/_every/resume_from),
     jax profiler traces (profile_dir), and a progress(done, total) callback.
 
@@ -99,7 +101,9 @@ def run_train(ids, seg, n, num_merges: int, verbose: bool = False,
             # incremental-count stepping: no sort, no recount
             select_mode = "stepped"
         else:
-            select_mode = "sort"
+            # large vocab: sparse slot-table incremental counting — no
+            # [V, V] buffer, no per-round sort (ops/train_sparse.py)
+            select_mode = "sparse"
 
     if profile_dir is not None:
         import jax
@@ -144,6 +148,21 @@ def run_train(ids, seg, n, num_merges: int, verbose: bool = False,
             )
         elif select_mode == "incremental":
             pairs, counts, fail_round = train_merges_incremental(
+                jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(n), num_merges
+            )
+        elif select_mode == "sparse":
+            from .ops.train_sparse import train_merges_sparse_stepped
+
+            pairs, counts, fail_round = train_merges_sparse_stepped(
+                ids, seg, n, num_merges,
+                checkpoint_path=checkpoint_path,
+                checkpoint_every=checkpoint_every,
+                resume_from=resume_from, progress=progress,
+            )
+        elif select_mode == "sparse_inc":
+            from .ops.train_sparse import train_merges_sparse
+
+            pairs, counts, fail_round = train_merges_sparse(
                 jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(n), num_merges
             )
         else:

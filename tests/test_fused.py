@@ -73,6 +73,37 @@ def test_multi_segment_exhaustion():
     _cmp([[7] * 150], 256)
 
 
+def test_tiled_trainer_branch_matches_plane(monkeypatch):
+    """Force the tile-sequential trainer branch (normally R > TILED_MIN_R,
+    i.e. streams > 0.5M tokens) on a 2-tile stream: multi-tile scan carries
+    in tiled_adjacency/tiled_apply must reproduce the whole-plane scans
+    bit-exactly (mirrors the encoder's forced-tiled test)."""
+    import jax.numpy as jnp
+
+    import minbpe_tpu.ops.pallas.fused_train as ft
+
+    text = open("/root/reference/tests/taylorswift.txt", "rb").read()[:33000]
+    # multi-chunk stream so segment isolation rides across tile boundaries
+    ends = list(range(11, len(text), 13)) + [len(text)]
+    chunks = [text[a:b] for a, b in zip([0] + ends, ends) if b > a]
+    ids, seg, n = st.pack_chunks(chunks)
+    args = (jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(n))
+    p1, c1, f1 = train_merges(*args, 24, select_mode="sort")
+
+    assert ft._rows_for(ids.shape[0]) >= 2 * ft.SCAN_TILE_ROWS  # >= 2 tiles
+    monkeypatch.setattr(ft, "TILED_MIN_R", 0)
+    ft._run_segment.clear_cache()
+    ft._train_staged.clear_cache()
+    try:
+        p2, c2, f2 = train_merges_fused(*args, 24, interpret=True)
+    finally:
+        ft._run_segment.clear_cache()
+        ft._train_staged.clear_cache()
+    assert int(f1) == int(f2)
+    assert (np.asarray(p1) == np.asarray(p2)).all()
+    assert (np.asarray(c1) == np.asarray(c2)).all()
+
+
 def test_from_bytes_parity():
     """train_merges_fused_bytes (device-built planes from uint8 data + chunk
     ends) must equal the plane-fed driver exactly."""

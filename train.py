@@ -3,7 +3,7 @@ saves the models (the reference's train.py:11-27 workflow, with a CLI).
 
     python train.py [--corpus PATH] [--vocab-size 512] [--outdir models_out]
                     [--tokenizers basic,regex] [--pattern gpt4|gpt2]
-                    [--select-mode auto|fused|stepped|sort|dense]
+                    [--select-mode auto|fused|stepped|sparse|sort|dense]
                     [--checkpoint-every N] [--resume] [--profile-dir DIR]
 """
 
@@ -47,12 +47,18 @@ def main():
             raise SystemExit(f"unknown tokenizer {name!r}")
         opts = {"select_mode": args.select_mode}
         ck = os.path.join(args.outdir, f"{name}.ckpt.npz")
+        # checkpoints need a host-stepped loop; dense counting caps at
+        # DENSE_SELECT_MAX vocab, above that the sparse slot table takes over
+        from minbpe_tpu.ops.train import DENSE_SELECT_MAX
+
+        ck_mode = "stepped" if args.vocab_size <= DENSE_SELECT_MAX \
+            else "sparse"
         if args.checkpoint_every:
             opts.update(checkpoint_path=ck,
                         checkpoint_every=args.checkpoint_every,
-                        select_mode="stepped")
+                        select_mode=ck_mode)
         if args.resume and os.path.exists(ck):
-            opts.update(resume_from=ck, select_mode="stepped")
+            opts.update(resume_from=ck, select_mode=ck_mode)
         if args.profile_dir:
             opts.update(profile_dir=args.profile_dir)
         t1 = time.time()
