@@ -30,6 +30,15 @@ try:  # keep the remote-TPU plugin from ever initializing inside tests
 except Exception:
     pass
 
+try:  # the plugin's register() may have set jax_platforms explicitly at
+    # interpreter start (sitecustomize), which overrides the env var above;
+    # force the config value back to cpu.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
 import pathlib
 
 import pytest
