@@ -284,18 +284,6 @@ def encode_bytes(tokenizer, data: bytes) -> list[int]:
     return encode_offsets(tokenizer, arr, ends)
 
 
-def encode_chunks(tokenizer, chunks: list[bytes]) -> list[int]:
-    """Encode pre-split chunks (Regex path). Small vocab goes through the
-    segmented-stream encoder; large vocab through the bucketed chunk encoder."""
-    if not chunks:
-        return []
-    dev = device_table(tokenizer)
-    if dev.kind == "sorted":
-        return chunk_encode.encode_chunk_list(chunks, dev.sorted_table)
-    ids, seg, n = stream_ops.pack_chunks(chunks)
-    return encode_packed(tokenizer, ids, seg, n)
-
-
 def encode_offsets(tokenizer, data, ends) -> list[int]:
     """Encode a (byte array, chunk-end offsets) pair — the vectorized path."""
     import jax
@@ -374,10 +362,3 @@ def train_bytes(data: bytes, num_merges: int, verbose: bool = False, **opts):
     ends = np.asarray([len(data)], dtype=np.int64) if len(data) else \
         np.zeros(0, dtype=np.int64)
     return train_offsets(arr, ends, num_merges, verbose, **opts)
-
-
-def train_chunks(chunks: list[bytes], num_merges: int, verbose: bool = False,
-                 **opts):
-    data = np.frombuffer(b"".join(chunks), dtype=np.uint8)
-    ends = np.cumsum(np.asarray([len(c) for c in chunks], dtype=np.int64))
-    return train_offsets(data, ends, num_merges, verbose, **opts)

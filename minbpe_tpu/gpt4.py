@@ -205,11 +205,6 @@ class GPT4Tokenizer(RegexTokenizer):
         self.register_special_tokens(dict(special_tokens))
         self._invalidate_device_state()
 
-    def _transform_chunk_bytes(self, chunk: bytes) -> bytes:
-        """Permute bytes before BPE (minbpe/gpt4.py:81-85)."""
-        arr = np.frombuffer(chunk, dtype=np.uint8)
-        return self.byte_shuffle[arr].tobytes()
-
     def _transform_bytes_array(self, arr):
         """Vectorized byte shuffle for the offsets-based encode path."""
         return self.byte_shuffle[arr]

@@ -104,9 +104,9 @@ def _fused_encode_raw(ids2, seg2, live2, pairs, nids, M: int,
     out = pl.pallas_call(
         functools.partial(_kernel, R=R, M=M),
         out_shape=jax.ShapeDtypeStruct((R, C), jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((R, C), jnp.int32),  # ids
             pltpu.VMEM((R, C), jnp.int32),  # seg

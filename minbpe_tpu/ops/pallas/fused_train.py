@@ -660,12 +660,12 @@ def _run_segment(ids2, seg2, live2, ctl, R: int, V: int, m: int, r0: int,
             jax.ShapeDtypeStruct((R, C), jnp.int32),
             jax.ShapeDtypeStruct((R, C), jnp.int32),
         ],
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3
         + [pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
             pltpu.VMEM((R, C), jnp.int32),  # ids

@@ -71,10 +71,6 @@ class RegexTokenizer(Tokenizer):
         here; GPT4Tokenizer installs its byte shuffle)."""
         return arr
 
-    def _transform_chunk_bytes(self, chunk: bytes) -> bytes:
-        """Per-chunk variant of the transform hook (list-based paths)."""
-        return chunk
-
     # -- training -----------------------------------------------------------
     def train(self, text: str, vocab_size: int, verbose: bool = False,
               **train_opts):
