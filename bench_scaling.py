@@ -11,8 +11,21 @@ times. Prints one JSON line per mesh size to stdout.
 
 import argparse
 import json
+import os
 import sys
 import time
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # honor the caller's CPU request even though this environment's
+    # sitecustomize registers a remote-TPU plugin whose register() overrides
+    # the env var (same workaround as tests/conftest.py)
+    import jax
+    import jax._src.xla_bridge as _xb
+
+    for _name in list(getattr(_xb, "_backend_factories", {})):
+        if _name not in ("cpu", "tpu", "cuda", "rocm", "gpu", "METAL"):
+            _xb._backend_factories.pop(_name, None)
+    jax.config.update("jax_platforms", "cpu")
 
 
 def main():

@@ -360,7 +360,7 @@ def tiled_mask_dead(ids_ref, live_ref, T):
 def _kernel(ids_in, seg_in, live_in, ctl_in, out_ref, ids_out, seg_out,
             ids_ref, seg_ref, live_ref,
             a_ref, b_ref, dma_sems,
-            *, R: int, V: int, M: int, r0: int):
+            *, R: int, V: int, M: int):
     # inputs live in HBM; copy them into the VMEM working set
     for src, dst, k in ((ids_in, ids_ref, 0), (seg_in, seg_ref, 1),
                         (live_in, live_ref, 2)):
@@ -370,9 +370,13 @@ def _kernel(ids_in, seg_in, live_in, ctl_in, out_ref, ids_out, seg_out,
         pltpu.make_async_copy(src, dst, dma_sems.at[k]).wait()
 
     # chained control state (lets segments run back-to-back with no host
-    # round trip): [0,0] = GLOBAL fail round so far, [1,0] = live token count
+    # round trip): [0,0] = GLOBAL fail round so far, [1,0] = live token count,
+    # [2,0] = r0 (first global merge round of this segment). r0 is dynamic so
+    # every segment of a staged plan shares ONE compiled kernel — cold-start
+    # compile cost is per (R, V, M), not per segment.
     fail_in = ctl_in[0, 0]
     n_live = ctl_in[1, 0]
+    r0 = ctl_in[2, 0]
 
     TRS = SCAN_TILE_ROWS
     T = R // TRS
@@ -548,15 +552,15 @@ def _kernel(ids_in, seg_in, live_in, ctl_in, out_ref, ids_out, seg_out,
 
         pa, pb = jax.lax.cond(n_tied == 1, pick_unique, pick_tied_any, None)
         # fail is GLOBAL (carried across segments through ctl)
-        ok = (maxc > 0) & (fail >= jnp.int32(r0) + i)
+        ok = (maxc > 0) & (fail >= r0 + i)
 
         def do(fail):
             if tiled:
                 tiled_apply(ids_ref, live_ref, a_ref, b_ref, pa, pb,
-                            jnp.int32(256 + r0) + i, T)
+                            jnp.int32(256) + r0 + i, T)
             else:
                 plane_apply(ids_ref, live_ref, a_ref, b_ref, pa, pb,
-                            jnp.int32(256 + r0) + i)
+                            jnp.int32(256) + r0 + i)
             # record the round
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
             row = jnp.where(lane == 0, pa,
@@ -568,7 +572,7 @@ def _kernel(ids_in, seg_in, live_in, ctl_in, out_ref, ids_out, seg_out,
         def skip(fail):
             out_ref[pl.ds(i, 1), :] = jnp.zeros((1, C), jnp.int32)
             return jnp.where(maxc > 0, fail,
-                             jnp.minimum(fail, jnp.int32(r0) + i))
+                             jnp.minimum(fail, r0 + i))
 
         return jax.lax.cond(ok, do, skip, fail)
 
@@ -648,13 +652,13 @@ def _compact_planes(ids2, seg2, R2: int):
             new_live.reshape(R2, C))
 
 
-@functools.partial(jax.jit, static_argnames=("R", "V", "m", "r0", "interpret"))
-def _run_segment(ids2, seg2, live2, ctl, R: int, V: int, m: int, r0: int,
+@functools.partial(jax.jit, static_argnames=("R", "V", "m", "interpret"))
+def _run_segment(ids2, seg2, live2, ctl, R: int, V: int, m: int,
                  interpret: bool = False):
-    """One kernel launch covering merge rounds [r0, r0 + m)."""
+    """One kernel launch covering merge rounds [r0, r0 + m), r0 = ctl[2, 0]."""
     Mp = -(-(m + 1) // 8) * 8
     out, ids_out, seg_out = pl.pallas_call(
-        functools.partial(_kernel, R=R, V=V, M=m, r0=r0),
+        functools.partial(_kernel, R=R, V=V, M=m),
         out_shape=[
             jax.ShapeDtypeStruct((Mp, C), jnp.int32),
             jax.ShapeDtypeStruct((R, C), jnp.int32),
@@ -728,27 +732,33 @@ def train_merges_fused_bytes(data, ends, n, num_merges: int,
                               interpret)
 
 
-@functools.partial(jax.jit, static_argnames=("plan", "interpret"))
-def _train_staged(ids2, seg2, live2, n, plan, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("segs", "m", "V", "interpret"))
+def _train_staged(ids2, seg2, live2, n, segs: int, m: int, V: int,
+                  interpret: bool = False):
     """All merge segments in ONE dispatch: segments chain on device through
-    a tiny ctl plane (global fail round + live count), the stream is
+    a tiny ctl plane (global fail round + live count + r0), the stream is
     front-compacted between segments at constant R, and dead tail tiles are
     skipped dynamically inside the kernel. The host syncs exactly once, on
     the final merge log — on tunneled backends each host<->device round trip
-    costs ~20-25 ms, which used to dominate the whole training run."""
+    costs ~20-25 ms, which used to dominate the whole training run.
+
+    Every segment runs the SAME compiled kernel: r0 is dynamic (ctl[2, 0])
+    and all segments share one (R, V, SEG_ROUNDS) specialization, so the
+    whole plan costs a single Mosaic compile regardless of how many merge
+    rounds it covers (cold-start was the round-1 headline weakness)."""
     R = ids2.shape[0]
-    M_total = plan[-1][0] + plan[-1][1]
-    fail = jnp.int32(M_total)
+    fail = jnp.int32(segs * m)
     n_live = jnp.asarray(n, jnp.int32)
     outs = []
-    for k, (r0, m, V) in enumerate(plan):
-        ctl = jnp.zeros((8, C), jnp.int32).at[0, 0].set(fail).at[1, 0].set(
-            n_live)
+    for k in range(segs):
+        ctl = (jnp.zeros((8, C), jnp.int32)
+               .at[0, 0].set(fail).at[1, 0].set(n_live)
+               .at[2, 0].set(k * m))
         out, ids_next, seg_next = _run_segment(ids2, seg2, live2, ctl,
-                                               R, V, m, r0, interpret)
+                                               R, V, m, interpret)
         outs.append(out[:m])
         fail = out[m, 0]
-        if k + 1 < len(plan):
+        if k + 1 < segs:
             # tokens consumed this segment = one per merge occurrence
             # (column 2 of the merge log)
             n_live = n_live - jnp.sum(out[:m, 2])
@@ -756,6 +766,23 @@ def _train_staged(ids2, seg2, live2, n, plan, interpret: bool = False):
         else:
             outs.append(out[m:m + 1])  # fail row rides along: one readback
     return jnp.concatenate(outs, axis=0)
+
+
+def _plan_v(num_merges: int) -> tuple[int, int, int]:
+    """(segments, rounds per segment, uniform V) for a staged run.
+
+    M is padded up to segs * m (extra rounds merge real pairs whose results
+    are simply discarded — at ~0.6 ms/round that is noise next to the ~25 s
+    Mosaic compile a bespoke final segment would cost) and V to a power of
+    two covering every padded round's new id. Multi-segment plans always use
+    m = SEG_ROUNDS, single-segment plans a power-of-two m, so every segment
+    of a plan — and every M in the same octave — shares ONE compiled kernel."""
+    if num_merges <= SEG_ROUNDS:
+        segs, m = 1, 1 << max(num_merges - 1, 3).bit_length()
+    else:
+        segs, m = -(-num_merges // SEG_ROUNDS), SEG_ROUNDS
+    V = max(512, 1 << (256 + segs * m - 1).bit_length())
+    return segs, m, V
 
 
 def _train_from_planes(ids2, seg2, live2, n: int, num_merges: int,
@@ -766,13 +793,8 @@ def _train_from_planes(ids2, seg2, live2, n: int, num_merges: int,
     if M == 0:
         return (np.zeros((0, 2), np.int32), np.zeros((0,), np.int32), 0)
 
-    plan = []
-    r0 = 0
-    while r0 < M:
-        m = min(SEG_ROUNDS, M - r0)
-        plan.append((r0, m, 256 + r0 + m))
-        r0 += m
-    out = _train_staged(ids2, seg2, live2, n, tuple(plan), interpret)
+    segs, m, V = _plan_v(M)
+    out = _train_staged(ids2, seg2, live2, n, segs, m, V, interpret)
     out_h = np.asarray(out)  # the one sync point of the whole training run
     return (out_h[:M, 0:2].copy(), out_h[:M, 2].copy(),
-            int(out_h[M, 0]))
+            min(int(out_h[segs * m, 0]), M))
