@@ -1,11 +1,18 @@
-"""Benchmark: headline BPE training throughput vs the reference.
+"""Benchmark: BPE training/encode/decode throughput vs the reference.
 
-Prints exactly ONE JSON line on stdout:
-  {"metric": ..., "value": N, "unit": "MB/s", "vs_baseline": N}
+Prints exactly ONE JSON line on stdout. The headline metric (train) keeps the
+round-over-round comparable keys {"metric", "value", "unit", "vs_baseline"};
+the additional BASELINE.md rows ride along under "extra":
 
-Baseline (BASELINE.md, measured in this environment): the reference
-RegexTokenizer.train at vocab 512 on tests/taylorswift.txt (185,768 bytes)
-takes 15.53 s => 0.01196 MB/s.
+  {"metric": "regex_train_MBps_vocab512_taylorswift", "value": N,
+   "unit": "MB/s", "vs_baseline": N,
+   "extra": [{"metric": "basic_train_MBps", ...}, ...],
+   "warmup_s": N}
+
+Baselines (BASELINE.md, measured in this environment, corpus =
+tests/taylorswift.txt = 185,768 bytes, vocab 512):
+  regex train 15.53 s | basic train 7.34 s | regex encode 0.37 s |
+  basic encode 7.36 s | decode 0.055 s.
 
 Methodology notes:
 - jit compilation is excluded (warmed up on a perturbed corpus variant and
@@ -14,7 +21,7 @@ Methodology notes:
   caches (executable, inputs) results, so repeat-timing identical inputs
   would measure the cache, not the machine);
 - timing covers the full public API call: host pre-split, packing, device
-  transfer, the training run, and fetching the learned merges.
+  transfer, the run, and fetching the result.
 
 Run on the default backend (TPU when available). Details go to stderr.
 """
@@ -24,12 +31,21 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   ".jax_cache"))
+# NOTE: this environment's sitecustomize imports jax at interpreter startup,
+# BEFORE this module runs, so the JAX_COMPILATION_CACHE_DIR env var would be
+# read too late — the cache dir must be set through jax.config (see main()).
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
 
 CORPUS = "/root/reference/tests/taylorswift.txt"
-BASELINE_MB_S = 0.185768 / 15.53  # reference regex train, this machine
+MB = 0.185768
+BASE = {  # seconds, reference on this machine (BASELINE.md)
+    "regex_train": 15.53,
+    "basic_train": 7.34,
+    "regex_encode": 0.37,
+    "basic_encode": 7.36,
+    "decode": 0.055,
+}
 
 
 def log(msg):
@@ -50,50 +66,84 @@ def variant(text: str, seed: int) -> str:
     return "".join(chars)
 
 
+def timed(label, fn, args_list):
+    """Min wall time of fn over distinct-input calls."""
+    times = []
+    results = []
+    for i, a in enumerate(args_list):
+        t0 = time.time()
+        results.append(fn(a))
+        dt = time.time() - t0
+        times.append(dt)
+        log(f"{label} run {i}: {dt:.3f}s ({MB/dt:.3f} MB/s)")
+    return min(times), results[0]
+
+
 def main():
     import jax
-    from minbpe_tpu import RegexTokenizer
+
+    jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
+    from minbpe_tpu import BasicTokenizer, RegexTokenizer
 
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     text = open(CORPUS, encoding="utf-8").read()
-    mb = len(text.encode("utf-8")) / 1e6
+    texts = [text, variant(text, 1), variant(text, 2)]
 
-    # warm-up / compile on a perturbed variant + parity sanity (encode path
-    # compiles here too, so the timed section below is pure training)
+    # -- warm-up / compile on a perturbed variant + parity sanity ------------
     t0 = time.time()
     wtok = RegexTokenizer()
     wtok.train(variant(text, 0), 512)
-    log(f"warmup train (incl compile): {time.time()-t0:.2f}s")
-    t0 = time.time()
     sample = text[:20000]
     assert wtok.decode(wtok.encode(sample)) == sample
-    log(f"warmup encode/decode round-trip ok ({time.time()-t0:.2f}s)")
+    wtok.encode_ordinary(variant(text, 0))  # full-size encode compile
+    wb = BasicTokenizer()
+    wb.train(variant(text, 0), 512)
+    wb.encode(variant(text, 0))
+    warmup_s = time.time() - t0
+    log(f"warmup (train+encode compile, both tokenizers): {warmup_s:.2f}s")
 
-    # timed: real corpus + two fresh variants, all uncached
-    times = []
-    tok = None
-    for i, t in enumerate([text, variant(text, 1), variant(text, 2)]):
-        t0 = time.time()
+    # -- train ----------------------------------------------------------------
+    toks = {}
+
+    def train_regex(t):
         tk = RegexTokenizer()
         tk.train(t, 512)
-        dt = time.time() - t0
-        times.append(dt)
-        log(f"train run {i}: {dt:.3f}s ({mb/dt:.3f} MB/s)")
-        if i == 0:
-            tok = tk
+        toks.setdefault("regex", tk)
+        return tk
 
-    # parity sanity on the real-corpus artifact
-    assert tok.decode(tok.encode(sample)) == sample
-    log(f"merges learned: {len(tok.merges)}; round-trip ok")
+    def train_basic(t):
+        tk = BasicTokenizer()
+        tk.train(t, 512)
+        toks.setdefault("basic", tk)
+        return tk
 
-    best = min(times)
-    value = mb / best
-    print(json.dumps({
-        "metric": "regex_train_MBps_vocab512_taylorswift",
-        "value": round(value, 4),
-        "unit": "MB/s",
-        "vs_baseline": round(value / BASELINE_MB_S, 2),
-    }))
+    t_regex_train, _ = timed("regex train", train_regex, texts)
+    t_basic_train, _ = timed("basic train", train_basic, texts)
+    rtok, btok = toks["regex"], toks["basic"]
+
+    # -- encode ---------------------------------------------------------------
+    t_regex_enc, ids = timed("regex encode", rtok.encode_ordinary, texts)
+    t_basic_enc, _ = timed("basic encode", btok.encode, texts)
+
+    # -- decode (host-side vocab concatenation) -------------------------------
+    t_dec, out = timed("decode", rtok.decode, [ids, list(ids), list(ids)])
+    assert out == text
+    assert btok.decode(btok.encode(sample)) == sample
+    log(f"merges learned: {len(rtok.merges)}; round-trips ok")
+
+    def row(name, secs):
+        v = MB / secs
+        return {"metric": f"{name}_MBps_vocab512_taylorswift",
+                "value": round(v, 4), "unit": "MB/s",
+                "vs_baseline": round(v / (MB / BASE[name]), 2)}
+
+    head = row("regex_train", t_regex_train)
+    head["extra"] = [row("basic_train", t_basic_train),
+                     row("regex_encode", t_regex_enc),
+                     row("basic_encode", t_basic_enc),
+                     row("decode", t_dec)]
+    head["warmup_s"] = round(warmup_s, 2)
+    print(json.dumps(head))
 
 
 if __name__ == "__main__":

@@ -309,6 +309,62 @@ def encode_offsets(tokenizer, data, ends) -> list[int]:
     return encode_packed(tokenizer, ids, seg, n)
 
 
+def encode_parts(tokenizer, parts: list) -> list:
+    """Encode several independent pre-split documents in as few device
+    programs as possible. ``parts`` is a list of (byte array, chunk-end
+    offsets) pairs; returns one numpy int32 token array per part, in order.
+
+    This is the batched back-end of special-token encode
+    (minbpe/regex.py:152-163 dispatches one encode per text part between
+    specials; here every part rides ONE device program):
+    - fused dense route: parts are concatenated into one stream (chunk ends
+      shifted per part) and the tombstoned result plane is split at part
+      byte boundaries host-side (flat positions map 1:1 to input bytes);
+    - sorted-table route: one bucketed chunk-encode over the concatenation,
+      split at part chunk boundaries via the per-chunk output lengths.
+    """
+    import jax
+
+    parts = [(d, e) for (d, e) in parts]
+    if not parts:
+        return []
+    sizes = [int(d.shape[0]) for d, _ in parts]
+    if sum(sizes) == 0:
+        return [np.zeros(0, np.int32) for _ in parts]
+    offs = np.cumsum([0] + sizes)
+    data = np.concatenate([np.asarray(d, dtype=np.uint8) for d, _ in parts])
+    ends = np.concatenate(
+        [np.asarray(e, dtype=np.int64) + offs[k]
+         for k, (_, e) in enumerate(parts)]
+    )
+    dev = device_table(tokenizer)
+    if dev.kind == "sorted":
+        flat, chunk_lens = chunk_encode.encode_offsets_arrays(
+            data, ends, dev.sorted_table)
+        out_starts = np.concatenate([[0], np.cumsum(chunk_lens)])
+        cum_chunks = np.cumsum([0] + [len(e) for _, e in parts])
+        return [
+            flat[out_starts[cum_chunks[k]]:out_starts[cum_chunks[k + 1]]]
+            for k in range(len(parts))
+        ]
+    from .ops.pallas.fused_encode import (
+        encode_fused_bytes_vals, FUSED_ENCODE_MAX_N, FUSED_ENCODE_MAX_M,
+    )
+
+    M = int(dev.merge_ids.shape[0])
+    if (jax.default_backend() == "tpu" and M <= FUSED_ENCODE_MAX_M
+            and data.shape[0] <= FUSED_ENCODE_MAX_N):
+        vals = encode_fused_bytes_vals(data, ends, data.shape[0],
+                                       dev.merge_pairs, dev.merge_ids)
+        return [
+            v[v >= 0].astype(np.int32)
+            for v in (vals[offs[k]:offs[k + 1]] for k in range(len(parts)))
+        ]
+    # fallback (non-TPU dense): one program per part
+    return [np.asarray(encode_offsets(tokenizer, d, e), dtype=np.int32)
+            for d, e in parts]
+
+
 def _train_capacity(n: int, num_merges: int, opts) -> int | None:
     """Padded capacity for a training stream: fine-grained buckets when the
     fused whole-training kernel will take it (its per-round cost scales with

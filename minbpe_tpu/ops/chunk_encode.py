@@ -126,21 +126,25 @@ def _encode_block_step(ids, lens, done, ka, kb, rank, merge_pairs, merge_ids,
     return state
 
 
-def encode_offsets(data: np.ndarray, ends: np.ndarray,
-                   table: SortedPairTable) -> list[int]:
+def encode_offsets_arrays(data: np.ndarray, ends: np.ndarray,
+                          table: SortedPairTable):
     """Encode from (byte array, chunk-end offsets) — vectorized bucketing.
 
-    Equivalent to encode_chunk_list but builds every bucket matrix with numpy
-    fancy indexing; no per-chunk Python objects.
+    Returns (flat int32 token array in corpus order, int64 per-chunk output
+    lengths). Both bucket construction AND result assembly are numpy fancy
+    indexing — no per-chunk Python objects or per-chunk .tolist() anywhere.
     """
-    if len(ends) == 0:
-        return []
+    n_chunks = len(ends)
+    if n_chunks == 0:
+        return np.zeros(0, np.int32), np.zeros(0, np.int64)
     data = np.ascontiguousarray(data)
     starts = np.concatenate([[0], ends[:-1]]).astype(np.int64)
     lengths = (ends - starts).astype(np.int64)
-    order_out: list[np.ndarray | None] = [None] * len(ends)
+    chunk_out_len = np.zeros(n_chunks, np.int64)
+    bucket_results = []  # (chunk idxs, out_ids matrix)
+    oversized_results = []  # (chunk idx, out array)
 
-    # bucket id per chunk: first bucket >= length (oversized -> -1)
+    # bucket id per chunk: first bucket >= length (oversized -> stream path)
     barr = np.asarray(_BUCKETS, dtype=np.int64)
     bidx = np.searchsorted(barr, lengths, side="left")
     oversized = np.nonzero(bidx >= len(barr))[0]
@@ -155,7 +159,9 @@ def encode_offsets(data: np.ndarray, ends: np.ndarray,
             table.ka, table.kb, table.rank,
             table.merge_pairs, table.merge_ids, table.depth,
         )
-        order_out[i] = np.asarray(out_ids)[:int(out_n)]
+        arr = np.asarray(out_ids)[:int(out_n)]
+        chunk_out_len[i] = len(arr)
+        oversized_results.append((i, arr))
 
     for b in np.unique(bidx[bidx < len(barr)]).tolist():
         L = int(barr[b])
@@ -176,16 +182,28 @@ def encode_offsets(data: np.ndarray, ends: np.ndarray,
             table.ka, table.kb, table.rank,
             table.merge_pairs, table.merge_ids, table.depth,
         )
-        out_ids = np.asarray(out_ids)
-        out_lens = np.asarray(out_lens)
-        for r, i in enumerate(idxs.tolist()):
-            order_out[i] = out_ids[r, :out_lens[r]]
+        out_ids = np.asarray(out_ids)[:len(idxs)]
+        chunk_out_len[idxs] = np.asarray(out_lens)[:len(idxs)]
+        bucket_results.append((idxs, out_ids))
 
-    out: list[int] = []
-    for arr in order_out:
-        if arr is not None and len(arr):
-            out.extend(arr.tolist())
-    return out
+    # vectorized reassembly in corpus order
+    out_starts = np.concatenate([[0], np.cumsum(chunk_out_len)])
+    flat = np.empty(int(out_starts[-1]), np.int32)
+    for idxs, out_ids in bucket_results:
+        L = out_ids.shape[1]
+        pos = out_starts[idxs][:, None] + np.arange(L)[None, :]
+        mask = np.arange(L)[None, :] < chunk_out_len[idxs][:, None]
+        flat[pos[mask]] = out_ids[mask]
+    for i, arr in oversized_results:
+        flat[out_starts[i]:out_starts[i] + len(arr)] = arr
+    return flat, chunk_out_len
+
+
+def encode_offsets(data: np.ndarray, ends: np.ndarray,
+                   table: SortedPairTable) -> list[int]:
+    """List-of-ints form of encode_offsets_arrays (host API boundary)."""
+    flat, _ = encode_offsets_arrays(data, ends, table)
+    return flat.tolist()
 
 
 def encode_chunk_list(chunks: list[bytes], table: SortedPairTable) -> list[int]:

@@ -204,12 +204,15 @@ def encode_fused_planes(data, seg, n, merge_pairs, merge_new_ids,
     return _finish(out)
 
 
-def encode_fused_bytes(data, ends, n, merge_pairs, merge_new_ids,
-                       interpret: bool = False):
-    """Same contract as encode_fused, fed by raw corpus bytes + chunk-end
-    offsets: planes are built on device, cutting host->device wire traffic
-    ~8x vs shipping two int32 planes (the tunnel transport is the encode
-    path's main cost at bench scale)."""
+def encode_fused_bytes_vals(data, ends, n, merge_pairs, merge_new_ids,
+                            interpret: bool = False):
+    """Tombstoned flat result values (length R*C >= n): position i holds the
+    output token that starts at input byte i, or -1. Flat positions map 1:1
+    to input byte offsets, so callers can split multi-document batches at
+    byte boundaries with a host-side mask — the basis of the one-dispatch
+    special-token encode (engine.encode_parts)."""
+    import numpy as np
+
     R = _rows_for(data.shape[0])
     ids2, seg2, live2 = _prep_from_bytes(jnp.asarray(data), jnp.asarray(ends),
                                          jnp.asarray(n), R)
@@ -217,4 +220,17 @@ def encode_fused_bytes(data, ends, n, merge_pairs, merge_new_ids,
     out = _fused_encode_raw(ids2, seg2, live2, pairs, nids, max(M, 1),
                             narrow=_narrow(merge_new_ids),
                             interpret=interpret)
-    return _finish(out)
+    return np.asarray(out).reshape(-1)
+
+
+def encode_fused_bytes(data, ends, n, merge_pairs, merge_new_ids,
+                       interpret: bool = False):
+    """Same contract as encode_fused, fed by raw corpus bytes + chunk-end
+    offsets: planes are built on device, cutting host->device wire traffic
+    ~8x vs shipping two int32 planes (the tunnel transport is the encode
+    path's main cost at bench scale)."""
+    import numpy as np
+
+    vals = encode_fused_bytes_vals(data, ends, n, merge_pairs, merge_new_ids,
+                                   interpret)
+    return vals[vals >= 0].astype(np.int32)

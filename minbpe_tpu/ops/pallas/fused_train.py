@@ -26,8 +26,11 @@ to Mosaic:
 
 Layout: the stream lives as (R, 128) int32 in VMEM, flat order row-major.
 Scans are two-level (in-row lane scans + cross-row scans). One-hot building
-slices columns of a transposed (128, 128) tile so the 128 elements of a row
-land on sublanes without per-row relayouts.
+stacks STATIC lane slices of each (128, 128) tile on sublanes (the group
+loops are python-unrolled): counting is order-free, so no transpose, no
+flattening relayout, and no masked-reduce extraction anywhere — the only
+remaining per-round traffic is the (4096, V) int8 one-hot planes themselves,
+which is the measured cost floor (see scripts/profile_phases.py).
 
 Supported sizes: N <= 4M tokens (128 MB VMEM; 5 persistent planes, scans run
 tile-sequentially with scalar carries so transients stay in-register),
@@ -360,7 +363,12 @@ def tiled_mask_dead(ids_ref, live_ref, T):
 def _kernel(ids_in, seg_in, live_in, ctl_in, out_ref, ids_out, seg_out,
             ids_ref, seg_ref, live_ref,
             a_ref, b_ref, dma_sems,
-            *, R: int, V: int, M: int):
+            *, R: int, V: int, M: int, phases: str = "full"):
+    # `phases` is a measurement knob (scripts/profile_phases.py): "none" /
+    # "adj" / "count" / "select" truncate each merge round after that phase
+    # (writing a value derived from it so nothing is dead-code-eliminated),
+    # letting per-phase cost be attributed by differencing wall times.
+    # Production always runs "full".
     # inputs live in HBM; copy them into the VMEM working set
     for src, dst, k in ((ids_in, ids_ref, 0), (seg_in, seg_ref, 1),
                         (live_in, live_ref, 2)):
@@ -371,35 +379,44 @@ def _kernel(ids_in, seg_in, live_in, ctl_in, out_ref, ids_out, seg_out,
 
     # chained control state (lets segments run back-to-back with no host
     # round trip): [0,0] = GLOBAL fail round so far, [1,0] = live token count,
-    # [2,0] = r0 (first global merge round of this segment). r0 is dynamic so
-    # every segment of a staged plan shares ONE compiled kernel — cold-start
-    # compile cost is per (R, V, M), not per segment.
+    # [2,0] = r0 (first global merge round of this segment), [3,0] = m_eff
+    # (rounds actually wanted from this segment; rounds >= m_eff cost one
+    # branch each). r0/m_eff are dynamic so every segment of a staged plan —
+    # including a short final segment — shares ONE compiled kernel per
+    # (R, V): cold-start compile cost never scales with merge count.
     fail_in = ctl_in[0, 0]
     n_live = ctl_in[1, 0]
     r0 = ctl_in[2, 0]
+    m_eff = ctl_in[3, 0]
 
     TRS = SCAN_TILE_ROWS
     T = R // TRS
     tflat = jax.lax.broadcasted_iota(jnp.int32, (TRS, C), 0) * C + \
         jax.lax.broadcasted_iota(jnp.int32, (TRS, C), 1)
 
-    GROUP = 32  # column-groups per matmul: contraction = GROUP * C = 4096
-    GC = GROUP * C
-    viota_g = jax.lax.broadcasted_iota(jnp.int32, (GC, V), 1)
-    tcol_iota = jax.lax.broadcasted_iota(jnp.int32, (C, TILE_ROWS), 1)
+    GROUP = 32  # lanes per matmul: contraction = GROUP * TILE_ROWS = 4096
+    GC = GROUP * TILE_ROWS
+    viota_b = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, V), 1)
     n_tiles = R // TILE_ROWS
 
-    def one_hot_group(tt, r):
-        """tt: transposed (C, TILE_ROWS) tile; stack columns r..r+GROUP-1
-        (GROUP*C consecutive stream elements, on sublanes) by masked reduces
-        (no dynamic value slicing in Mosaic) -> (GROUP*C, V) int8 one-hot."""
-        cols = [
-            jnp.sum(jnp.where(tcol_iota == r + g, tt, 0), axis=1,
-                    keepdims=True)
-            for g in range(GROUP)
+    def one_hot_group(t, g0):
+        """t: (TILE_ROWS, C) tile in native layout; lanes g0..g0+GROUP-1
+        (g0 STATIC — the group loops below are python-unrolled) each become
+        one (TILE_ROWS, V) one-hot block via a lane-broadcast compare, then
+        the blocks stack on sublanes -> (GC, V) int8. The compare reads ONE
+        lane slice per block (vs. a full-tile masked reduce per lane before:
+        ~2 MB of re-reads per group) and canonicalizes the layout, keeping
+        the block concat legal for Mosaic (concatenating the raw lane slices
+        themselves trips 'offset mismatch on non-concat dimension').
+
+        Stacking is lane-major, NOT flat stream order: counting is a sum
+        over elements, so any element order works as long as the A/B pairing
+        per element is consistent (both sides use this same stacking)."""
+        blocks = [
+            (t[:, j:j + 1] == viota_b).astype(jnp.int8)
+            for j in range(g0, g0 + GROUP)
         ]
-        col = jnp.concatenate(cols, axis=0)  # (GROUP*C, 1), flat order
-        return (col == viota_g).astype(jnp.int8)
+        return jnp.concatenate(blocks, axis=0)  # (GC, V)
 
     def count_matrix():
         """counts[x, y] = #positions with (a, b) == (x, y); -1 entries skip.
@@ -410,19 +427,16 @@ def _kernel(ids_in, seg_in, live_in, ctl_in, out_ref, ids_out, seg_out,
 
         def tile_body(t, acc):
             def work(acc):
-                at = a_ref[pl.ds(t * TILE_ROWS, TILE_ROWS), :].T
-                bt = b_ref[pl.ds(t * TILE_ROWS, TILE_ROWS), :].T
-
-                def grp_body(g, acc):
+                at = a_ref[pl.ds(t * TILE_ROWS, TILE_ROWS), :]
+                bt = b_ref[pl.ds(t * TILE_ROWS, TILE_ROWS), :]
+                for g in range(C // GROUP):  # unrolled: static lane slices
                     A = one_hot_group(at, g * GROUP)
                     B = one_hot_group(bt, g * GROUP)
-                    return acc + jax.lax.dot_general(
+                    acc = acc + jax.lax.dot_general(
                         A, B, (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.int32,
                     )
-
-                return jax.lax.fori_loop(0, TILE_ROWS // GROUP, grp_body,
-                                         acc)
+                return acc
 
             return jax.lax.cond(t * TILE_ELEMS < n_live, work,
                                 lambda a: a, acc)
@@ -432,13 +446,18 @@ def _kernel(ids_in, seg_in, live_in, ctl_in, out_ref, ids_out, seg_out,
     def first_tied_index(tied_f):
         """Smallest flat index whose (a, b) pair is in the tied set."""
         best = jnp.int32(INT32_MAX)
+        # stacked row q of group g0 holds tile element (sublane q % TILE_ROWS,
+        # lane g0 + q // TILE_ROWS) — invert the lane-major stacking to get
+        # true flat stream positions (the tie-break needs real order here,
+        # unlike counting)
+        q = jax.lax.broadcasted_iota(jnp.int32, (GC, 1), 0)
+        off_in_tile = (q % TILE_ROWS) * C + q // TILE_ROWS
 
         def tile_body(t, best):
             def work(best):
-                at = a_ref[pl.ds(t * TILE_ROWS, TILE_ROWS), :].T
-                bt = b_ref[pl.ds(t * TILE_ROWS, TILE_ROWS), :].T
-
-                def grp_body(g, best):
+                at = a_ref[pl.ds(t * TILE_ROWS, TILE_ROWS), :]
+                bt = b_ref[pl.ds(t * TILE_ROWS, TILE_ROWS), :]
+                for g in range(C // GROUP):  # unrolled: static lane slices
                     A = one_hot_group(at, g * GROUP)
                     B = one_hot_group(bt, g * GROUP)
                     sel = jax.lax.dot_general(
@@ -447,14 +466,10 @@ def _kernel(ids_in, seg_in, live_in, ctl_in, out_ref, ids_out, seg_out,
                     )
                     hit = jnp.sum(sel * B.astype(jnp.int32), axis=1,
                                   keepdims=True)  # (GC, 1)
-                    base = (t * TILE_ROWS + g * GROUP) * C
-                    fidx = base + jax.lax.broadcasted_iota(
-                        jnp.int32, (GC, 1), 0)
+                    fidx = t * TILE_ELEMS + off_in_tile + g * GROUP
                     cand = jnp.min(jnp.where(hit > 0, fidx, INT32_MAX))
-                    return jnp.minimum(best, cand)
-
-                return jax.lax.fori_loop(0, TILE_ROWS // GROUP, grp_body,
-                                         best)
+                    best = jnp.minimum(best, cand)
+                return best
 
             return jax.lax.cond(t * TILE_ELEMS < n_live, work,
                                 lambda b: b, best)
@@ -486,14 +501,26 @@ def _kernel(ids_in, seg_in, live_in, ctl_in, out_ref, ids_out, seg_out,
 
     tiled = R > TILED_MIN_R
 
+    def _truncate(i, val):
+        out_ref[pl.ds(i, 1), :] = jnp.zeros((1, C), jnp.int32) + val
+
     def round_body(i, fail):
+        if phases == "none":
+            _truncate(i, i)
+            return fail
         if tiled:
             tiled_adjacency(ids_ref, seg_ref, live_ref, a_ref, b_ref, T)
         else:
             plane_adjacency(ids_ref, seg_ref, live_ref, a_ref, b_ref)
+        if phases == "adj":
+            _truncate(i, jnp.max(a_ref[:]) + jnp.max(b_ref[:]))
+            return fail
 
         counts = count_matrix()
         maxc = jnp.max(counts)
+        if phases == "count":
+            _truncate(i, maxc)
+            return fail
         tied = counts == maxc
         n_tied = jnp.sum(tied.astype(jnp.int32))
 
@@ -551,6 +578,9 @@ def _kernel(ids_in, seg_in, live_in, ctl_in, out_ref, ids_out, seg_out,
                                 None)
 
         pa, pb = jax.lax.cond(n_tied == 1, pick_unique, pick_tied_any, None)
+        if phases == "select":
+            _truncate(i, pa * V + pb)
+            return fail
         # fail is GLOBAL (carried across segments through ctl)
         ok = (maxc > 0) & (fail >= r0 + i)
 
@@ -576,7 +606,15 @@ def _kernel(ids_in, seg_in, live_in, ctl_in, out_ref, ids_out, seg_out,
 
         return jax.lax.cond(ok, do, skip, fail)
 
-    fail = jax.lax.fori_loop(0, M, round_body, fail_in)
+    def maybe_round(i, fail):
+        def idle(fail):
+            out_ref[pl.ds(i, 1), :] = jnp.zeros((1, C), jnp.int32)
+            return fail
+
+        return jax.lax.cond(i < m_eff, lambda f: round_body(i, f), idle,
+                            fail)
+
+    fail = jax.lax.fori_loop(0, M, maybe_round, fail_in)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
     out_ref[pl.ds(M, 1), :] = jnp.where(lane == 0, fail, 0)
 
@@ -690,10 +728,10 @@ def _run_segment(ids2, seg2, live2, ctl, R: int, V: int, m: int,
     return out, ids_out, seg_out
 
 
-# merge rounds per kernel launch in the staged path. Segment k counts with
-# matrix width V_k = 256 + 128(k+1) instead of the final V, and the stream is
-# compacted between segments — both costs scale with live x V^2, and the live
-# count shrinks monotonically (each merge round kills `count` tokens).
+# merge rounds per kernel launch in the staged path. The stream is
+# front-compacted between segments (count cost scales with the live prefix,
+# which shrinks monotonically: each merge round kills `count` tokens), and
+# every segment shares ONE compiled kernel (r0/m_eff are dynamic, see _plan_vs).
 SEG_ROUNDS = 128
 
 
@@ -732,57 +770,56 @@ def train_merges_fused_bytes(data, ends, n, num_merges: int,
                               interpret)
 
 
-@functools.partial(jax.jit, static_argnames=("segs", "m", "V", "interpret"))
-def _train_staged(ids2, seg2, live2, n, segs: int, m: int, V: int,
+@functools.partial(jax.jit, static_argnames=("M_total", "vs", "interpret"))
+def _train_staged(ids2, seg2, live2, n, M_total: int, vs: tuple,
                   interpret: bool = False):
     """All merge segments in ONE dispatch: segments chain on device through
-    a tiny ctl plane (global fail round + live count + r0), the stream is
-    front-compacted between segments at constant R, and dead tail tiles are
-    skipped dynamically inside the kernel. The host syncs exactly once, on
-    the final merge log — on tunneled backends each host<->device round trip
-    costs ~20-25 ms, which used to dominate the whole training run.
+    a tiny ctl plane (global fail round + live count + r0 + m_eff), the
+    stream is front-compacted between segments at constant R, and dead tail
+    tiles are skipped dynamically inside the kernel. The host syncs exactly
+    once, on the final merge log — on tunneled backends each host<->device
+    round trip costs ~20-25 ms, which used to dominate the whole run.
 
-    Every segment runs the SAME compiled kernel: r0 is dynamic (ctl[2, 0])
-    and all segments share one (R, V, SEG_ROUNDS) specialization, so the
-    whole plan costs a single Mosaic compile regardless of how many merge
-    rounds it covers (cold-start was the round-1 headline weakness)."""
+    vs[k] is segment k's count-matrix width (pair counting is the dominant
+    round cost and scales with V — see scripts/profile_phases.py — so early
+    segments count at the narrowest V covering their new ids). Compiled
+    kernel count = number of DISTINCT widths in vs (r0/m_eff are dynamic),
+    typically 2 for a 512-vocab run, never per-segment."""
     R = ids2.shape[0]
-    fail = jnp.int32(segs * m)
+    fail = jnp.int32(M_total)
     n_live = jnp.asarray(n, jnp.int32)
     outs = []
-    for k in range(segs):
+    for k, V in enumerate(vs):
+        m_k = min(SEG_ROUNDS, M_total - k * SEG_ROUNDS)
         ctl = (jnp.zeros((8, C), jnp.int32)
                .at[0, 0].set(fail).at[1, 0].set(n_live)
-               .at[2, 0].set(k * m))
+               .at[2, 0].set(k * SEG_ROUNDS).at[3, 0].set(m_k))
         out, ids_next, seg_next = _run_segment(ids2, seg2, live2, ctl,
-                                               R, V, m, interpret)
-        outs.append(out[:m])
-        fail = out[m, 0]
-        if k + 1 < segs:
+                                               R, V, SEG_ROUNDS, interpret)
+        outs.append(out[:m_k])
+        fail = out[SEG_ROUNDS, 0]
+        if k + 1 < len(vs):
             # tokens consumed this segment = one per merge occurrence
             # (column 2 of the merge log)
-            n_live = n_live - jnp.sum(out[:m, 2])
+            n_live = n_live - jnp.sum(out[:m_k, 2])
             ids2, seg2, live2 = _compact_planes(ids_next, seg_next, R)
         else:
-            outs.append(out[m:m + 1])  # fail row rides along: one readback
+            # fail row rides along: one readback
+            outs.append(out[SEG_ROUNDS:SEG_ROUNDS + 1])
     return jnp.concatenate(outs, axis=0)
 
 
-def _plan_v(num_merges: int) -> tuple[int, int, int]:
-    """(segments, rounds per segment, uniform V) for a staged run.
-
-    M is padded up to segs * m (extra rounds merge real pairs whose results
-    are simply discarded — at ~0.6 ms/round that is noise next to the ~25 s
-    Mosaic compile a bespoke final segment would cost) and V to a power of
-    two covering every padded round's new id. Multi-segment plans always use
-    m = SEG_ROUNDS, single-segment plans a power-of-two m, so every segment
-    of a plan — and every M in the same octave — shares ONE compiled kernel."""
-    if num_merges <= SEG_ROUNDS:
-        segs, m = 1, 1 << max(num_merges - 1, 3).bit_length()
-    else:
-        segs, m = -(-num_merges // SEG_ROUNDS), SEG_ROUNDS
-    V = max(512, 1 << (256 + segs * m - 1).bit_length())
-    return segs, m, V
+def _plan_vs(num_merges: int) -> tuple[int, ...]:
+    """Per-segment count-matrix widths: the smallest lane-aligned V covering
+    each segment's highest new id (ids reach 256 + r0 + m_eff by segment
+    end). No power-of-two bucketing — each 128-step in V costs a Mosaic
+    compile only once per (R, V), and counting cost is linear in V."""
+    segs = -(-num_merges // SEG_ROUNDS)
+    return tuple(
+        max(384,
+            -(-(256 + min((k + 1) * SEG_ROUNDS, num_merges)) // 128) * 128)
+        for k in range(segs)
+    )
 
 
 def _train_from_planes(ids2, seg2, live2, n: int, num_merges: int,
@@ -793,8 +830,7 @@ def _train_from_planes(ids2, seg2, live2, n: int, num_merges: int,
     if M == 0:
         return (np.zeros((0, 2), np.int32), np.zeros((0,), np.int32), 0)
 
-    segs, m, V = _plan_v(M)
-    out = _train_staged(ids2, seg2, live2, n, segs, m, V, interpret)
+    out = _train_staged(ids2, seg2, live2, n, M, _plan_vs(M), interpret)
     out_h = np.asarray(out)  # the one sync point of the whole training run
     return (out_h[:M, 0:2].copy(), out_h[:M, 2].copy(),
-            min(int(out_h[segs * m, 0]), M))
+            min(int(out_h[M, 0]), M))

@@ -7,10 +7,16 @@ TPU-native scaling design it lacks:
   straddle shards, so the Regex-path invariant "merges never cross chunk
   boundaries", minbpe/regex.py:44, also guarantees no cross-shard pairs);
 - the merge table is replicated (tiny);
-- per-round pair counts are combined with ``jax.lax.psum`` and the
-  first-occurrence tie-break positions with ``jax.lax.pmin`` — so selection is
-  bit-identical to the single-device sort-based path and to the reference;
-- merge application + compaction happen shard-locally.
+- the round body is the fused single-chip kernel's design in XLA form
+  (ops/pallas/fused_train.py): TOMBSTONED streams with next-live adjacency
+  (never compacted — no per-round sort, and global positions stay stable
+  for the tie-break), shard-local counts as one-hot int8 MXU matmuls (no
+  scatter), and the first-occurrence tie-break resolved per OCCURRENCE
+  (psum'd counts -> tie membership lookup -> pmin of one scalar position)
+  instead of a psum'd [V, V] position matrix — selection stays bit-identical
+  to the single-device sort-based path and to the reference;
+- merge application happens shard-locally with a 2-state carry scan for the
+  cross-shard boundary pair.
 
 Three exact selection implementations (selection="dense"|"sparse"|"owner"):
 - dense: psum'd [V, V] count/min-position matrices — right up to vocab ~8K;
@@ -36,7 +42,6 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..ops.stream import PAD, PAD_SEG, bucket_capacity
-from ..ops.merge import compact
 
 INT32_MAX = 2**31 - 1  # plain int: module import must not touch a backend
 
@@ -81,32 +86,51 @@ def shard_chunks(chunks: list[bytes], n_shards: int):
     return ids.reshape(-1), seg.reshape(-1), lens
 
 
-def _local_pair_stats(ids, seg, n, gpos_base, V, halo_id, halo_seg, halo_ok):
-    """Dense per-shard (count, min-global-position) matrices, OOB-dropped.
+def _pair_arrays(ids, seg, live, halo_id, halo_seg, halo_ok):
+    """Per-position (a, b, pair_ok) over a TOMBSTONED shard stream — the
+    array form the fused single-chip kernel uses (ops/pallas/fused_train.py
+    tiled_adjacency): b is the id of the NEXT LIVE token in the same segment,
+    so the stream never needs per-round compaction and global positions stay
+    stable for the first-occurrence tie-break.
 
-    Includes the cross-shard boundary pair (last local token, next shard's
-    first token) when the halo is valid and in the same segment — the 1-token
-    halo called out in SURVEY.md §2.3 for the unsegmented Basic path.
+    The cross-shard boundary pair (last live local token, next shard's first
+    live token — the 1-token halo of SURVEY.md §2.3) is folded in at the last
+    live index, whose in-shard pair slot is vacant by construction.
     """
     Nl = ids.shape[0]
     idx = jnp.arange(Nl, dtype=jnp.int32)
-    nxt_ids = jnp.roll(ids, -1)
-    nxt_seg = jnp.roll(seg, -1)
-    valid = (idx + 1 < n) & (seg == nxt_seg)
-    ia = jnp.where(valid, ids, V)  # V is out of bounds -> dropped
-    ib = jnp.where(valid, nxt_ids, V)
-    counts = jnp.zeros((V, V), jnp.int32).at[ia, ib].add(1, mode="drop")
-    minpos = jnp.full((V, V), INT32_MAX, jnp.int32).at[ia, ib].min(
-        gpos_base + idx, mode="drop"
+    nxt = jax.lax.cummin(jnp.where(live, idx, INT32_MAX), reverse=True)
+    nxt = jnp.roll(nxt, -1).at[Nl - 1].set(INT32_MAX)  # exclusive
+    has = nxt < INT32_MAX
+    j = jnp.minimum(nxt, Nl - 1)
+    pair_ok = live & has & (seg == seg[j])
+    a = jnp.where(pair_ok, ids, -1)
+    b = jnp.where(pair_ok, ids[j], -1)
+    # boundary pair (left token is ours, partner lives on a later shard)
+    ll = jnp.max(jnp.where(live, idx, -1))
+    llc = jnp.maximum(ll, 0)
+    bvalid = halo_ok & (ll >= 0) & (seg[llc] == halo_seg)
+    a = a.at[llc].set(jnp.where(bvalid, ids[llc], a[llc]))
+    b = b.at[llc].set(jnp.where(bvalid, halo_id, b[llc]))
+    return a, b, pair_ok | (bvalid & (idx == llc))
+
+
+def _dense_counts(a, b, pair_ok, V, mxu: bool):
+    """Shard-local dense pair counts.
+
+    mxu=True (TPU): ONE one-hot int8 MXU matmul — no scatter, the fused
+    kernel's counting scheme in XLA form. mxu=False (CPU hosts / virtual
+    test meshes): scatter-add — the matmul is O(Nl * V^2) which the MXU
+    eats for breakfast but a CPU host does not."""
+    av = jnp.where(pair_ok, a, V)  # class V = invalid (sliced/dropped)
+    bv = jnp.where(pair_ok, b, V)
+    if not mxu:
+        return jnp.zeros((V, V), jnp.int32).at[av, bv].add(1, mode="drop")
+    A = jax.nn.one_hot(av, V + 1, dtype=jnp.int8)[:, :V]
+    B = jax.nn.one_hot(bv, V + 1, dtype=jnp.int8)[:, :V]
+    return jax.lax.dot_general(
+        A, B, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32
     )
-    # boundary pair (left token is ours, partner lives on the next shard)
-    lastpos = jnp.maximum(n - 1, 0)
-    bvalid = halo_ok & (n > 0) & (seg[lastpos] == halo_seg)
-    ba = jnp.where(bvalid, ids[lastpos], V)
-    bb = jnp.where(bvalid, halo_id, V)
-    counts = counts.at[ba, bb].add(1, mode="drop")
-    minpos = minpos.at[ba, bb].min(gpos_base + lastpos, mode="drop")
-    return counts, minpos
 
 
 def _varying(x):
@@ -118,13 +142,18 @@ def _varying(x):
         return x
 
 
-def _halo_exchange(ids, seg, n, n_shards):
-    """Each shard receives the first token of the nearest NON-EMPTY shard to
-    its right (multi-hop 1-token halo, exact even across empty shards)."""
+def _halo_exchange(ids, seg, live, n_shards):
+    """Each shard receives the first LIVE token of the nearest shard to its
+    right that has one (multi-hop 1-token halo, exact even across empty or
+    fully-tombstoned shards)."""
     D = n_shards
-    firsts = jax.lax.all_gather(ids[0], "data")
-    fsegs = jax.lax.all_gather(seg[0], "data")
-    nons = jax.lax.all_gather(n > 0, "data")
+    Nl = ids.shape[0]
+    idx = jnp.arange(Nl, dtype=jnp.int32)
+    fli = jnp.min(jnp.where(live, idx, INT32_MAX))
+    flc = jnp.minimum(fli, Nl - 1)
+    firsts = jax.lax.all_gather(ids[flc], "data")
+    fsegs = jax.lax.all_gather(seg[flc], "data")
+    nons = jax.lax.all_gather(fli < INT32_MAX, "data")
     d = jax.lax.axis_index("data")
     ar = jnp.arange(D, dtype=jnp.int32)
     cand = jnp.where(nons & (ar > d), ar, D)
@@ -134,69 +163,58 @@ def _halo_exchange(ids, seg, n, n_shards):
     return firsts[jc], fsegs[jc], halo_ok
 
 
-def _extended_keep(ids, seg, n, pa, pb, halo_id, halo_seg, halo_ok):
-    """Match + left-first keep masks over local pairs PLUS the boundary pair,
-    under both possible carry-ins from the left shard.
+def _extended_keep(a, b, live, pa, pb):
+    """Match + left-first keep masks along the LIVE chain of a tombstoned
+    shard (the boundary pair is already folded into a/b at the last live
+    index by _pair_arrays), under both possible carry-ins from the left
+    shard. Parity runs over CHAIN positions (cumsum of live), the tombstone
+    form of the reference's adjacent-overlap rule (minbpe/base.py:25-41) —
+    the same formulation as the fused kernel's apply pass.
 
-    Returns (keep0, keep1, co0, co1): keep masks for carry-in 0/1 (index
-    n-1 is the boundary pair's keep), and the boundary-pair keep bit under
-    each carry-in (the shard's 2-state transfer function).
+    Returns (keep0, keep1, co0, co1): keep masks for carry-in 0/1, and the
+    boundary-pair keep bit under each carry-in (the shard's 2-state transfer
+    function; identity for shards with no live tokens).
     """
-    Nl = ids.shape[0]
+    Nl = a.shape[0]
     idx = jnp.arange(Nl, dtype=jnp.int32)
-    nxt_ids = jnp.roll(ids, -1)
-    nxt_seg = jnp.roll(seg, -1)
-    valid = (idx + 1 < n) & (seg == nxt_seg)
-    m_int = valid & (ids == pa) & (nxt_ids == pb)
-    lastpos = jnp.maximum(n - 1, 0)
-    bvalid = halo_ok & (n > 0) & (seg[lastpos] == halo_seg)
-    bm = bvalid & (ids[lastpos] == pa) & (halo_id == pb)
-    m = jnp.where(idx == n - 1, bm, m_int)
-    m_prev = jnp.roll(m, 1).at[0].set(False)
+    m = (a == pa) & (b == pb)
+    fli = jnp.min(jnp.where(live, idx, INT32_MAX))
+    any_live = fli < INT32_MAX
+    ll = jnp.maximum(jnp.max(jnp.where(live, idx, -1)), 0)
+
+    chain = jnp.cumsum(live.astype(jnp.int32))  # 1-based at live positions
+    pl = jnp.roll(jax.lax.cummax(jnp.where(live, idx, -1)), 1).at[0].set(-1)
+    m_prev = (pl >= 0) & m[jnp.maximum(pl, 0)]
     new_run = m & ~m_prev
-    run_start = jax.lax.cummax(jnp.where(new_run, idx, -1))
-    off = idx - run_start
+    crs = jax.lax.cummax(jnp.where(new_run, chain, -1))
+    off = chain - crs
     keep0 = m & ((off & 1) == 0)
-    # carry-in = 1: the pair just left of our first token was kept, so the
-    # run that starts at index 0 (if any) has its parity flipped
-    in_first_run = m & (run_start == 0) & m[0]
+    # carry-in = 1: the pair just left of our first live token was kept, so
+    # the run that starts at the first live token (if any) flips parity
+    in_first_run = m & (crs == 1) & (any_live & m[jnp.minimum(fli, Nl - 1)])
     keep1 = jnp.where(in_first_run, m & ((off & 1) == 1), keep0)
-    # transfer function carry_in -> carry_out: carry_out is whether the pair
-    # immediately left of the NEXT shard's first token was kept. For a
-    # non-empty shard that pair is our boundary pair; for an empty shard the
-    # incoming carry passes through unchanged (identity transfer).
-    co0 = (n > 0) & keep0[lastpos] & bm
-    co1 = jnp.where(n > 0, keep1[lastpos] & bm, True)
+    # transfer function carry_in -> carry_out: whether the pair immediately
+    # left of the NEXT shard's first live token (our boundary pair) was kept
+    co0 = any_live & keep0[ll]
+    co1 = jnp.where(any_live, keep1[ll], True)
     return keep0, keep1, co0, co1
 
 
-def _local_run_summaries(ids, seg, n, gpos_base, K, halo_id, halo_seg,
-                         halo_ok):
+def _local_run_summaries(a, b, pair_ok, gpos_base, K):
     """Per-shard distinct-pair summaries for the sparse (large-vocab)
-    selection: sorted-run compaction of local pairs (incl. the boundary
-    pair) into fixed (K,) arrays of (pa, pb, count, minpos).
+    selection: sorted-run compaction of the (a, b, pair_ok) arrays from
+    _pair_arrays (boundary pair already folded in) into fixed (K,) arrays
+    of (pa, pb, count, minpos).
 
     Returns (pa, pb, cnt, pos, overflow): entries past the distinct-pair
     count hold INT32_MAX sentinels; overflow flags n_runs > K.
     """
-    Nl = ids.shape[0]
+    Nl = a.shape[0]
     idx = jnp.arange(Nl, dtype=jnp.int32)
-    nxt_ids = jnp.roll(ids, -1)
-    nxt_seg = jnp.roll(seg, -1)
-    valid = (idx + 1 < n) & (seg == nxt_seg)
-    lastpos = jnp.maximum(n - 1, 0)
-    bvalid = halo_ok & (n > 0) & (seg[lastpos] == halo_seg)
-
-    ka = jnp.concatenate([
-        jnp.where(valid, ids, INT32_MAX),
-        jnp.where(bvalid, ids[lastpos], INT32_MAX)[None],
-    ])
-    kb = jnp.concatenate([
-        jnp.where(valid, nxt_ids, INT32_MAX),
-        jnp.where(bvalid, halo_id, INT32_MAX)[None],
-    ])
-    pos = jnp.concatenate([gpos_base + idx, (gpos_base + lastpos)[None]])
-    NE = Nl + 1
+    ka = jnp.where(pair_ok, a, INT32_MAX)
+    kb = jnp.where(pair_ok, b, INT32_MAX)
+    pos = gpos_base + idx
+    NE = Nl
     sa, sb, sp = jax.lax.sort((ka, kb, pos), num_keys=3, is_stable=False)
 
     j = jnp.arange(NE, dtype=jnp.int32)
@@ -368,6 +386,9 @@ def build_distributed_train(mesh: Mesh, num_merges: int, vocab_size: int,
     M = num_merges
     Nl = shard_capacity
     D = mesh.devices.size
+    # dense counting impl: MXU one-hot matmul on TPU meshes, scatter-add on
+    # CPU hosts / virtual test meshes (see _dense_counts)
+    mxu = all(d.platform == "tpu" for d in mesh.devices.flat)
     K = sparse_cap if sparse_cap is not None else min(Nl + 1, 1 << 17)
     Kb = owner_cap if owner_cap is not None else min(K, 4 * (-(-K // D)))
 
@@ -382,11 +403,16 @@ def build_distributed_train(mesh: Mesh, num_merges: int, vocab_size: int,
         counts0 = jnp.zeros((M,), jnp.int32)
 
         def body(i, state):
-            ids, seg, n, pairs, counts, fail, oflow = state
-            halo_id, halo_seg, halo_ok = _halo_exchange(ids, seg, n, D)
+            # the stream is TOMBSTONED (live mask), never compacted: global
+            # positions stay stable for the tie-break, and the round has no
+            # per-round sort — the fused single-chip kernel's design.
+            ids, seg, live, pairs, counts, fail, oflow = state
+            halo_id, halo_seg, halo_ok = _halo_exchange(ids, seg, live, D)
+            a, b, pair_ok = _pair_arrays(ids, seg, live, halo_id, halo_seg,
+                                         halo_ok)
             if selection in ("sparse", "owner"):
                 lpa, lpb, lcnt, lpos, of = _local_run_summaries(
-                    ids, seg, n, gpos_base, K, halo_id, halo_seg, halo_ok
+                    a, b, pair_ok, gpos_base, K
                 )
                 if selection == "owner":
                     pa, pb, maxc, any_pair, of2 = _owner_global_select(
@@ -400,25 +426,27 @@ def build_distributed_train(mesh: Mesh, num_merges: int, vocab_size: int,
                 oflow = oflow | (jax.lax.psum(of.astype(jnp.int32), "data")
                                  > 0)
             else:
-                lc, lp = _local_pair_stats(
-                    ids, seg, n, gpos_base, V, halo_id, halo_seg, halo_ok
-                )
-                gc = jax.lax.psum(lc, "data")
-                gp = jax.lax.pmin(lp, "data")
+                gc = jax.lax.psum(_dense_counts(a, b, pair_ok, V, mxu),
+                                  "data")
                 maxc = jnp.max(gc)
+                # first-occurrence tie-break without any position matrix:
+                # look up tie membership per occurrence, pmin the position,
+                # and have the owning shard broadcast the winning pair
                 tied = gc == maxc
-                best_pos = jnp.min(jnp.where(tied, gp, INT32_MAX))
-                flat = jnp.argmax((tied & (gp == best_pos)).reshape(-1))
-                pa = (flat // V).astype(jnp.int32)
-                pb = (flat % V).astype(jnp.int32)
+                hit = pair_ok & tied[jnp.clip(a, 0, V - 1),
+                                     jnp.clip(b, 0, V - 1)]
+                lbest = jnp.min(jnp.where(hit, gpos_base + idx, INT32_MAX))
+                best = jax.lax.pmin(lbest, "data")
+                mine = (lbest == best) & (best < INT32_MAX)
+                k = jnp.argmax(hit & (gpos_base + idx == best))
+                pa = jax.lax.psum(jnp.where(mine, a[k], 0), "data")
+                pb = jax.lax.psum(jnp.where(mine, b[k], 0), "data")
             # normalize VMA typing across selection implementations
             pa, pb, maxc = _varying(pa), _varying(pb), _varying(maxc)
             ok = (maxc > 0) & (fail >= i)
 
             def do(_):
-                keep0, keep1, co0, co1 = _extended_keep(
-                    ids, seg, n, pa, pb, halo_id, halo_seg, halo_ok
-                )
+                keep0, keep1, co0, co1 = _extended_keep(a, b, live, pa, pb)
                 # resolve carry-ins: compose the per-shard transfer functions
                 # left to right (replicated scan over D gathered bit-pairs)
                 co0g = jax.lax.all_gather(co0, "data")
@@ -437,23 +465,30 @@ def build_distributed_train(mesh: Mesh, num_merges: int, vocab_size: int,
                 _, carry_in = jax.lax.fori_loop(0, D, carry_step, init)
                 keep = jnp.where(carry_in, keep1, keep0)
                 new_ids = jnp.where(keep, jnp.int32(256) + i, ids)
-                killed = jnp.roll(keep, 1).at[0].set(carry_in)
-                live = ~killed & (idx < n)
-                out_ids, out_seg, new_n = compact(new_ids, seg, live)
-                return (out_ids, out_seg, new_n,
+                # consumed tokens: the next live token after a kept match;
+                # the first live token when the left shard's boundary pair
+                # was kept (carry_in)
+                pl = jnp.roll(jax.lax.cummax(jnp.where(live, idx, -1)),
+                              1).at[0].set(-1)
+                killed = live & (pl >= 0) & keep[jnp.maximum(pl, 0)]
+                fli = jnp.min(jnp.where(live, idx, INT32_MAX))
+                flc = jnp.minimum(fli, Nl - 1)
+                killed = killed.at[flc].set(
+                    (carry_in & (fli < INT32_MAX)) | killed[flc])
+                return (new_ids, seg, live & ~killed,
                         pairs.at[i, 0].set(pa).at[i, 1].set(pb),
                         counts.at[i].set(maxc), fail, oflow)
 
             def skip(_):
-                return (ids, seg, n, pairs, counts,
+                return (ids, seg, live, pairs, counts,
                         jnp.minimum(fail, jnp.where(maxc > 0, fail, i)),
                         oflow)
 
             return jax.lax.cond(ok, do, skip, None)
 
-        state = (ids, seg, n, _varying(pairs0), _varying(counts0),
+        state = (ids, seg, idx < n, _varying(pairs0), _varying(counts0),
                  _varying(jnp.int32(M)), _varying(jnp.bool_(False)))
-        ids, seg, n, pairs, counts, fail, oflow = jax.lax.fori_loop(
+        ids, seg, live, pairs, counts, fail, oflow = jax.lax.fori_loop(
             0, M, body, state)
         return pairs[None], counts[None], fail[None], oflow[None]
 

@@ -138,12 +138,25 @@ class RegexTokenizer(Tokenizer):
         if not special:
             return self.encode_ordinary(text)
         # Exact-match split on the registered specials (capturing group keeps
-        # the specials as their own parts), then encode the pieces.
+        # the specials as their own parts), then encode ALL text parts in one
+        # batched device program (engine.encode_parts) — the reference
+        # dispatches one encode per part (minbpe/regex.py:152-163).
         special_pattern = "(" + "|".join(re.escape(k) for k in special) + ")"
-        ids: list[int] = []
+        plan: list[tuple[str, int]] = []
+        batch = []
         for part in re.split(special_pattern, text):
             if part in special:
-                ids.append(special[part])
+                plan.append(("s", special[part]))
+            elif part:
+                data, ends = self._split_arrays(part)
+                if len(ends):
+                    plan.append(("t", len(batch)))
+                    batch.append((data, ends))
+        encoded = engine.encode_parts(self, batch)
+        ids: list[int] = []
+        for kind, v in plan:
+            if kind == "s":
+                ids.append(v)
             else:
-                ids.extend(self.encode_ordinary(part))
+                ids.extend(encoded[v].tolist())
         return ids

@@ -31,10 +31,10 @@ def main():
     R = N // 128
     ids2 = jax.ShapeDtypeStruct((R, 128), jnp.int32)
     n = jax.ShapeDtypeStruct((), jnp.int32)
-    plan = ((0, 128, 384), (128, 128, 512))
-    lowered = t("lower _train_staged (2 segments)",
-                lambda: ft._train_staged.lower(ids2, ids2, ids2, n, plan))
-    t("compile _train_staged (2 segments)", lowered.compile)
+    vs = ft._plan_vs(256)
+    lowered = t(f"lower _train_staged ({len(vs)} segments)",
+                lambda: ft._train_staged.lower(ids2, ids2, ids2, n, 256, vs))
+    t(f"compile _train_staged ({len(vs)} segments)", lowered.compile)
 
 
 if __name__ == "__main__":

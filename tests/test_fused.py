@@ -52,6 +52,7 @@ def test_failure_round():
     _cmp([[1, 2]], 4)
 
 
+@pytest.mark.slow
 def test_multi_segment_corpus():
     """M > SEG_ROUNDS: crosses a segment boundary, exercising the staged
     driver's mid-training compaction + narrow-V first segment."""
@@ -59,6 +60,7 @@ def test_multi_segment_corpus():
     _cmp([list(text)], 160)
 
 
+@pytest.mark.slow
 def test_multi_segment_random_ties():
     """Tie-heavy small-alphabet stream across the segment boundary: the
     first-occurrence tie-break must survive compaction (stable order)."""

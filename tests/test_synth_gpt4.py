@@ -17,12 +17,16 @@ import oracle
 from minbpe_tpu.gpt4 import GPT4Tokenizer, recover_merge_forest
 from minbpe_tpu.utils.synthranks import synthetic_ranks
 
-N_RANKS = 8192  # > engine.DENSE_VOCAB_MAX: same encode route as cl100k
+# both sizes route past engine.DENSE_VOCAB_MAX (same encode route as real
+# cl100k); 100,256 is the true cl100k_base rank count (minbpe/gpt4.py:63),
+# slow-marked — the default gate runs the 8K instance of every test here.
+N_RANKS_PARAMS = [8192, pytest.param(100_256, marks=pytest.mark.slow)]
 
 
-@pytest.fixture(scope="module")
-def synth():
-    ranks, intended, specials = synthetic_ranks(N_RANKS, seed=7)
+@pytest.fixture(scope="module", params=N_RANKS_PARAMS,
+                ids=lambda n: f"ranks{n}")
+def synth(request):
+    ranks, intended, specials = synthetic_ranks(request.param, seed=7)
     return ranks, intended, specials
 
 

@@ -71,6 +71,7 @@ def test_matches_incremental_on_corpus_slice():
     assert (np.asarray(c1) == np.asarray(c2)).all()
 
 
+@pytest.mark.slow
 def test_oracle_parity_vocab_8k():
     """The VERDICT 'done' bar: bit-parity vs the independent oracle at
     vocab >= 8K (7744+ merge rounds) — the regime with no dense-count path.
@@ -88,6 +89,7 @@ def test_oracle_parity_vocab_8k():
     assert got == want
 
 
+@pytest.mark.slow
 def test_matches_sort_path_vocab_8k_corpus():
     """Real-corpus cross-check at vocab 8K against the sort path (itself
     oracle-validated): taylorswift slice, 7744 merges."""
