@@ -35,6 +35,22 @@ class BasicTokenizer(Tokenizer):
         (minbpe/basic.py:57-74)."""
         return engine.encode_bytes(self, text.encode("utf-8"))
 
+    def encode_batch(self, texts: list[str]) -> list[list[int]]:
+        """Encode many independent documents in ONE batched device program
+        (TPU-native serving surface; no reference counterpart). Each document
+        is its own stream segment — merges never cross documents — so the
+        result is exactly ``[self.encode(t) for t in texts]``.
+        """
+        import numpy as np
+
+        batch = []
+        for t in texts:
+            data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            ends = (np.array([len(data)], dtype=np.int64) if len(data)
+                    else np.zeros(0, dtype=np.int64))
+            batch.append((data, ends))
+        return [ids.tolist() for ids in engine.encode_parts(self, batch)]
+
     def decode(self, ids) -> str:
         """Concatenate vocab bytes; invalid UTF-8 becomes U+FFFD
         (minbpe/basic.py:51-55)."""

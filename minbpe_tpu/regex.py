@@ -118,32 +118,35 @@ class RegexTokenizer(Tokenizer):
         data, ends = self._split_arrays(text)
         return engine.encode_offsets(self, data, ends)
 
-    def encode(self, text: str, allowed_special="none_raise") -> list[int]:
-        """Special-token-aware encode; allowed_special semantics per
-        minbpe/regex.py:123-164 ("all" | "none" | "none_raise" | set)."""
-        special = None
+    def _resolve_special(self, text: str, allowed_special) -> dict[str, int]:
+        """allowed_special semantics per minbpe/regex.py:131-143
+        ("all" | "none" | "none_raise" | set)."""
         if allowed_special == "all":
-            special = self.special_tokens
-        elif allowed_special == "none":
-            special = {}
-        elif allowed_special == "none_raise":
-            special = {}
+            return self.special_tokens
+        if allowed_special == "none":
+            return {}
+        if allowed_special == "none_raise":
             assert all(token not in text for token in self.special_tokens)
-        elif isinstance(allowed_special, set):
-            special = {
-                k: v for k, v in self.special_tokens.items() if k in allowed_special
+            return {}
+        if isinstance(allowed_special, set):
+            return {
+                k: v for k, v in self.special_tokens.items()
+                if k in allowed_special
             }
-        else:
-            raise ValueError(f"allowed_special={allowed_special} not understood")
-        if not special:
-            return self.encode_ordinary(text)
-        # Exact-match split on the registered specials (capturing group keeps
-        # the specials as their own parts), then encode ALL text parts in one
-        # batched device program (engine.encode_parts) — the reference
-        # dispatches one encode per part (minbpe/regex.py:152-163).
-        special_pattern = "(" + "|".join(re.escape(k) for k in special) + ")"
+        raise ValueError(f"allowed_special={allowed_special} not understood")
+
+    def _special_plan(self, text: str, special: dict[str, int], batch: list):
+        """Split ``text`` on exact special-token matches; text parts append
+        their (byte array, chunk-end offsets) to ``batch``; returns the
+        reassembly plan [("s", id) | ("t", batch index)]."""
         plan: list[tuple[str, int]] = []
-        batch = []
+        if not special:
+            data, ends = self._split_arrays(text)
+            if len(ends):
+                plan.append(("t", len(batch)))
+                batch.append((data, ends))
+            return plan
+        special_pattern = "(" + "|".join(re.escape(k) for k in special) + ")"
         for part in re.split(special_pattern, text):
             if part in special:
                 plan.append(("s", special[part]))
@@ -152,7 +155,10 @@ class RegexTokenizer(Tokenizer):
                 if len(ends):
                     plan.append(("t", len(batch)))
                     batch.append((data, ends))
-        encoded = engine.encode_parts(self, batch)
+        return plan
+
+    @staticmethod
+    def _assemble(plan, encoded) -> list[int]:
         ids: list[int] = []
         for kind, v in plan:
             if kind == "s":
@@ -160,3 +166,38 @@ class RegexTokenizer(Tokenizer):
             else:
                 ids.extend(encoded[v].tolist())
         return ids
+
+    def encode(self, text: str, allowed_special="none_raise") -> list[int]:
+        """Special-token-aware encode; allowed_special semantics per
+        minbpe/regex.py:123-164 ("all" | "none" | "none_raise" | set)."""
+        special = self._resolve_special(text, allowed_special)
+        if not special:
+            return self.encode_ordinary(text)
+        # Exact-match split on the registered specials (capturing group keeps
+        # the specials as their own parts), then encode ALL text parts in one
+        # batched device program (engine.encode_parts) — the reference
+        # dispatches one encode per part (minbpe/regex.py:152-163).
+        batch: list = []
+        plan = self._special_plan(text, special, batch)
+        encoded = engine.encode_parts(self, batch)
+        return self._assemble(plan, encoded)
+
+    def encode_batch(self, texts: list[str],
+                     allowed_special="none_raise") -> list[list[int]]:
+        """Encode many independent documents in ONE batched device program.
+
+        TPU-native serving surface (no reference counterpart — the reference
+        encodes one string at a time, minbpe/regex.py:123-164): all documents'
+        text parts ride a single segmented stream through engine.encode_parts,
+        so per-call dispatch/transfer overhead is paid once per batch instead
+        of once per document. Result ids are exactly ``[self.encode(t,
+        allowed_special) for t in texts]``.
+        """
+        batch: list = []
+        plans = [
+            self._special_plan(t, self._resolve_special(t, allowed_special),
+                               batch)
+            for t in texts
+        ]
+        encoded = engine.encode_parts(self, batch)
+        return [self._assemble(plan, encoded) for plan in plans]
