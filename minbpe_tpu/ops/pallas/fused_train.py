@@ -16,9 +16,10 @@ to Mosaic:
 - pair counts are one-hot MXU matmuls accumulated per 128-element row
   (`counts = sum_r A_r^T B_r`), rebuilt each round — no scatter;
 - the reference tie-break (earliest first occurrence among max-count pairs,
-  minbpe/basic.py:35 + base.py:20-21) runs only on actual ties, via a second
-  matmul trick: per-position tie membership = rowsum((A_r @ tied) * B_r),
-  reduced straight to the first flat index — no gather;
+  minbpe/basic.py:35 + base.py:20-21) runs only on actual ties, as a serial
+  walk over the tied pairs (trip count = the actual tie count): per pair one
+  masked min-reduce gives its first stream occurrence, and the global min
+  wins — no gather, no matmul sweep;
 - left-first overlap parity (minbpe/base.py:33-41) uses chain positions
   (cumsum of live) and run-start chain positions (forward select-scan);
 - consumed-token kills are "previous live token was kept" — another
@@ -443,51 +444,6 @@ def _kernel(ids_in, seg_in, live_in, ctl_in, out_ref, ids_out, seg_out,
 
         return jax.lax.fori_loop(0, n_tiles, tile_body, acc)
 
-    def first_tied_index(tied_f):
-        """Smallest flat index whose (a, b) pair is in the tied set."""
-        best = jnp.int32(INT32_MAX)
-        # stacked row q of group g0 holds tile element (sublane q % TILE_ROWS,
-        # lane g0 + q // TILE_ROWS) — invert the lane-major stacking to get
-        # true flat stream positions (the tie-break needs real order here,
-        # unlike counting)
-        q = jax.lax.broadcasted_iota(jnp.int32, (GC, 1), 0)
-        off_in_tile = (q % TILE_ROWS) * C + q // TILE_ROWS
-
-        def tile_body(t, best):
-            def work(best):
-                at = a_ref[pl.ds(t * TILE_ROWS, TILE_ROWS), :]
-                bt = b_ref[pl.ds(t * TILE_ROWS, TILE_ROWS), :]
-                for g in range(C // GROUP):  # unrolled: static lane slices
-                    A = one_hot_group(at, g * GROUP)
-                    B = one_hot_group(bt, g * GROUP)
-                    sel = jax.lax.dot_general(
-                        A, tied_f, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.int32,
-                    )
-                    hit = jnp.sum(sel * B.astype(jnp.int32), axis=1,
-                                  keepdims=True)  # (GC, 1)
-                    fidx = t * TILE_ELEMS + off_in_tile + g * GROUP
-                    cand = jnp.min(jnp.where(hit > 0, fidx, INT32_MAX))
-                    best = jnp.minimum(best, cand)
-                return best
-
-            return jax.lax.cond(t * TILE_ELEMS < n_live, work,
-                                lambda b: b, best)
-
-        return jax.lax.fori_loop(0, n_tiles, tile_body, best)
-
-    def masked_pick(ref, flat_idx):
-        """ref value at flat stream position flat_idx (tiled masked reduce,
-        no gather, no whole-plane transient)."""
-
-        def body(t, best):
-            sl = pl.ds(t * TRS, TRS)
-            v = jnp.max(jnp.where(tflat + t * (TRS * C) == flat_idx,
-                                  ref[sl, :], -2**31))
-            return jnp.maximum(best, v)
-
-        return jax.lax.fori_loop(0, T, body, jnp.int32(-2**31))
-
     def first_match_index(ca, cb):
         """Smallest flat stream position with (a, b) == (ca, cb), tiled."""
 
@@ -531,19 +487,18 @@ def _kernel(ids_in, seg_in, live_in, ctl_in, out_ref, ids_out, seg_out,
             flat = jnp.min(jnp.where(tied, vi, INT32_MAX))
             return flat // V, flat % V
 
-        def pick_tied(_):
-            fi = first_tied_index(tied.astype(jnp.int8))
-            return masked_pick(a_ref, fi), masked_pick(b_ref, fi)
-
         def pick_tied_serial(_):
             """Walk the tied pairs one by one (cheap full-plane reduces, no
             matmul sweep): the winner is the pair whose first occurrence in
             the stream is earliest — per-pair first occurrence is a masked
             min-reduce, and the global minimum over tied pairs equals the
-            first index whose pair is tied. Ties are almost always tiny (the
-            bench corpus never exceeds 6 tied pairs), so this is ~10x cheaper
-            than the matmul tie sweep, which remains the fallback for
-            pathological tie sets."""
+            first index whose pair is tied. The trip count is the ACTUAL tie
+            count (ties are almost always tiny — the bench corpus never
+            exceeds 6 tied pairs), so this is exact for any tie set at
+            pay-per-tie cost; each iteration consumes exactly one tied key
+            in ascending flat-key order. When maxc == 0 (corpus exhausted)
+            EVERYTHING ties — but the pick is then unused (the round is
+            skipped), so the trip count is forced to 0."""
             vi = jax.lax.broadcasted_iota(jnp.int32, (V, V), 0) * V + \
                 jax.lax.broadcasted_iota(jnp.int32, (V, V), 1)
 
@@ -552,32 +507,24 @@ def _kernel(ids_in, seg_in, live_in, ctl_in, out_ref, ids_out, seg_out,
             # re-reducing with a `> prev` mask instead of mutating the set.
             def body(t, st):
                 prev, best_fi, pa, pb = st
+                flat = jnp.min(jnp.where(tied & (vi > prev), vi, INT32_MAX))
+                ca, cb = flat // V, flat % V
+                fi = first_match_index(ca, cb)
+                better = (flat < INT32_MAX) & (fi < best_fi)
+                return (flat,
+                        jnp.where(better, fi, best_fi),
+                        jnp.where(better, ca, pa),
+                        jnp.where(better, cb, pb))
 
-                def live(st):
-                    prev, best_fi, pa, pb = st
-                    flat = jnp.min(jnp.where(tied & (vi > prev), vi,
-                                             INT32_MAX))
-                    ca, cb = flat // V, flat % V
-                    fi = first_match_index(ca, cb)
-                    better = (flat < INT32_MAX) & (fi < best_fi)
-                    return (flat,
-                            jnp.where(better, fi, best_fi),
-                            jnp.where(better, ca, pa),
-                            jnp.where(better, cb, pb))
-
-                return jax.lax.cond(prev < INT32_MAX, live, lambda s: s, st)
-
+            n_eff = jnp.where(maxc > 0, n_tied, 0)
             _, _, pa, pb = jax.lax.fori_loop(
-                0, 64, body,
+                0, n_eff, body,
                 (jnp.int32(-1), jnp.int32(INT32_MAX), jnp.int32(0),
                  jnp.int32(0)))
             return pa, pb
 
-        def pick_tied_any(_):
-            return jax.lax.cond(n_tied <= 64, pick_tied_serial, pick_tied,
-                                None)
-
-        pa, pb = jax.lax.cond(n_tied == 1, pick_unique, pick_tied_any, None)
+        pa, pb = jax.lax.cond(n_tied == 1, pick_unique, pick_tied_serial,
+                              None)
         if phases == "select":
             _truncate(i, pa * V + pb)
             return fail
