@@ -75,6 +75,23 @@ def test_regex_batch_sorted_route(rtok, monkeypatch):
         rtok._invalidate_device_state()
 
 
+def test_gpt4_batch_with_byte_shuffle():
+    """encode_batch through GPT4Tokenizer: the byte shuffle applies per
+    document inside the shared batched program."""
+    from minbpe_tpu.gpt4 import GPT4Tokenizer
+    from minbpe_tpu.utils.synthranks import synthetic_ranks
+
+    ranks, _, specials = synthetic_ranks(600, seed=11)
+    tok = GPT4Tokenizer.from_mergeable_ranks(ranks, specials)
+    docs = [DOCS[0], "", "hello't world 123", DOCS[3]]
+    assert tok.encode_batch(docs) == [tok.encode(d) for d in docs]
+    name, sid = next(iter(specials.items()))
+    sdocs = [f"a {name} b", name, "plain"]
+    got = tok.encode_batch(sdocs, allowed_special="all")
+    assert got == [tok.encode(d, allowed_special="all") for d in sdocs]
+    assert sid in got[0]
+
+
 def test_basic_batch_matches_loop(corpus):
     tok = BasicTokenizer()
     tok.train(corpus[:20000], 280)
