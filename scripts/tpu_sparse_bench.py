@@ -45,7 +45,12 @@ def main():
               f"({mb/dt:.4f} MB/s)", flush=True)
         assert tok2.merges == tok.merges
 
-    # raw driver comparison at 8K: stepped vs single-dispatch fori_loop
+    # raw driver comparison at 8K: stepped vs single-dispatch fori_loop.
+    # Gated behind --full: each extra unroll width is a fresh multi-minute
+    # server-side compile on the tunneled backend (measured 2026-08-20:
+    # >30 min for the unroll-64 program alone), for secondary data.
+    if "--full" not in sys.argv:
+        return
     from minbpe_tpu.ops import stream as st
     from minbpe_tpu.ops.train_sparse import (
         train_merges_sparse, train_merges_sparse_stepped,
