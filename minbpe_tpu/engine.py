@@ -31,6 +31,12 @@ class DeviceMergeTable:
         self.vocab_size = 256 if len(new_ids) == 0 else max(256, int(new_ids.max()) + 1)
         self.kind = "dense" if self.vocab_size <= DENSE_VOCAB_MAX else "sorted"
         self.sorted_table = SortedPairTable(pairs, new_ids)
+        if self.kind == "sorted":
+            from .ops.ranktab import CuckooPairTable
+
+            # large-vocab serving path: 2-probe hash lookups for the flat
+            # encoder (ops/flat_encode.py)
+            self.cuckoo = CuckooPairTable(pairs, new_ids)
         if self.kind == "dense":
             self.rank_table = jnp.asarray(build_rank_table(pairs, self.vocab_size))
         if len(pairs):
@@ -292,7 +298,9 @@ def encode_offsets(tokenizer, data, ends) -> list[int]:
         return []
     dev = device_table(tokenizer)
     if dev.kind == "sorted":
-        return chunk_encode.encode_offsets(data, ends, dev.sorted_table)
+        from .ops import flat_encode
+
+        return flat_encode.encode_offsets(data, ends, dev.cuckoo)
     if dev.kind == "dense":
         from .ops.pallas.fused_encode import (
             encode_fused_bytes, FUSED_ENCODE_MAX_N, FUSED_ENCODE_MAX_M,
@@ -339,8 +347,10 @@ def encode_parts(tokenizer, parts: list) -> list:
     )
     dev = device_table(tokenizer)
     if dev.kind == "sorted":
-        flat, chunk_lens = chunk_encode.encode_offsets_arrays(
-            data, ends, dev.sorted_table)
+        from .ops import flat_encode
+
+        flat, chunk_lens = flat_encode.encode_offsets_arrays(
+            data, ends, dev.cuckoo)
         out_starts = np.concatenate([[0], np.cumsum(chunk_lens)])
         cum_chunks = np.cumsum([0] + [len(e) for _, e in parts])
         return [
