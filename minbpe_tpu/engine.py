@@ -103,13 +103,15 @@ def run_train(ids, seg, n, num_merges: int, verbose: bool = False,
             # whole training loop in one Pallas kernel: state in VMEM,
             # zero per-round dispatch
             select_mode = "fused"
-        elif V <= DENSE_SELECT_MAX:
+        elif V <= DENSE_SELECT_MAX and N <= FUSED_MAX_N:
             # incremental-count stepping: no sort, no recount
             select_mode = "stepped"
         else:
-            # large vocab: sparse slot-table incremental counting — no
-            # [V, V] buffer, no per-round sort (ops/train_sparse.py)
-            select_mode = "sparse"
+            # large vocab or huge stream: sort-round loop — no V-dependent
+            # memory/work at all, and only sort/scan primitives that stay
+            # vectorized on TPU (ops/train_sortloop.py; the slot-table
+            # "sparse" path remains available explicitly)
+            select_mode = "sortloop"
 
     if profile_dir is not None:
         import jax
@@ -154,6 +156,21 @@ def run_train(ids, seg, n, num_merges: int, verbose: bool = False,
             )
         elif select_mode == "incremental":
             pairs, counts, fail_round = train_merges_incremental(
+                jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(n), num_merges
+            )
+        elif select_mode == "sortloop":
+            from .ops.train_sortloop import train_merges_sortloop_stepped
+
+            pairs, counts, fail_round = train_merges_sortloop_stepped(
+                ids, seg, n, num_merges,
+                checkpoint_path=checkpoint_path,
+                checkpoint_every=checkpoint_every,
+                resume_from=resume_from, progress=progress,
+            )
+        elif select_mode == "sortloop_inc":
+            from .ops.train_sortloop import train_merges_sortloop
+
+            pairs, counts, fail_round = train_merges_sortloop(
                 jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(n), num_merges
             )
         elif select_mode == "sparse":

@@ -89,8 +89,13 @@ def make_run(R: int, V: int, phases: str):
 
 
 def main():
-    vs = [int(a) for a in sys.argv[1:]] or [384, 512]
-    text = open(CORPUS, encoding="utf-8").read()
+    args = sys.argv[1:]
+    reps = 1
+    if args and args[0].startswith("x"):
+        reps = int(args[0][1:])
+        args = args[1:]
+    vs = [int(a) for a in args] or [384, 512]
+    text = open(CORPUS, encoding="utf-8").read() * reps
     tok = RegexTokenizer()
 
     planes = []
@@ -113,14 +118,16 @@ def main():
             run = make_run(R, V, phases)
             (p, n), = planes[:1]
             ctl = (jnp.zeros((8, ft.C), jnp.int32)
-                   .at[0, 0].set(1 << 30).at[1, 0].set(n))
+                   .at[0, 0].set(1 << 30).at[1, 0].set(n)
+                   .at[3, 0].set(M))
             t0 = time.time()
             float(run(*p, ctl))  # fetch = the only true sync on the tunnel
             compile_s = time.time() - t0
             best = float("inf")
             for (p, n) in planes[1:]:
                 ctl = (jnp.zeros((8, ft.C), jnp.int32)
-                       .at[0, 0].set(1 << 30).at[1, 0].set(n))
+                       .at[0, 0].set(1 << 30).at[1, 0].set(n)
+                       .at[3, 0].set(M))
                 t0 = time.time()
                 float(run(*p, ctl))
                 best = min(best, time.time() - t0)

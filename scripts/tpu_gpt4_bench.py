@@ -61,20 +61,24 @@ def main():
     for reps in (1, 5):
         text = base * reps
         mb = len(text.encode("utf-8")) / 1e6
-        # warm (compile all bucket programs) on a shifted variant
+        # warm (compile) on a shifted variant; timed runs start at i=2 so no
+        # timed input repeats the warm input (the remote execution layer
+        # caches (executable, inputs) results — ADVICE r3 item 1)
         t0 = time.time()
         tok.encode(text[1:] + text[:1])
         warm = time.time() - t0
         times = []
         ids = None
-        for i in range(3):
+        last = None
+        for i in range(2, 5):
             v = text[i:] + text[:i]  # distinct content, same size
+            last = v
             t0 = time.time()
             ids = tok.encode(v)
             times.append(time.time() - t0)
-            print(f"x{reps} run {i}: {times[-1]:.3f}s "
+            print(f"x{reps} run {i-2}: {times[-1]:.3f}s "
                   f"({mb/times[-1]:.3f} MB/s)", file=sys.stderr, flush=True)
-        assert tok.decode(ids) == text[2:] + text[:2]
+        assert tok.decode(ids) == last
         best = min(times)
         print(json.dumps({
             "metric": f"gpt4_encode_MBps_vocab100256_taylorswift_x{reps}",
