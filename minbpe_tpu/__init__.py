@@ -6,8 +6,10 @@ Public API mirrors the reference package surface (minbpe/__init__.py:1-4).
 from .base import Tokenizer
 from .basic import BasicTokenizer
 from .regex import RegexTokenizer, GPT2_SPLIT_PATTERN, GPT4_SPLIT_PATTERN
+from .utils.precompile import precompile
 
 __all__ = [
+    "precompile",
     "Tokenizer",
     "BasicTokenizer",
     "RegexTokenizer",

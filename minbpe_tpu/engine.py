@@ -326,8 +326,14 @@ def encode_offsets(tokenizer, data, ends) -> list[int]:
         M = int(dev.merge_ids.shape[0])
         if (jax.default_backend() == "tpu" and M <= FUSED_ENCODE_MAX_M
                 and data.shape[0] <= FUSED_ENCODE_MAX_N):
-            # ship raw bytes + offsets; planes are built on device
-            out = encode_fused_bytes(data, ends, data.shape[0],
+            from .ops.pallas.fused_train import fused_capacity
+
+            # ship raw bytes + u16 chunk lengths into a SIZE-BUCKETED
+            # program (unbucketed arrays would compile per corpus size);
+            # the result comes back device-compacted in int16
+            n = int(data.shape[0])
+            d, e, _ = _pack_raw(data, np.asarray(ends), fused_capacity(n))
+            out = encode_fused_bytes(d, e, n,
                                      dev.merge_pairs, dev.merge_ids)
             return out.tolist()
     ids, seg, n = stream_ops.pack_offsets(data, ends)
@@ -381,7 +387,11 @@ def encode_parts(tokenizer, parts: list) -> list:
     M = int(dev.merge_ids.shape[0])
     if (jax.default_backend() == "tpu" and M <= FUSED_ENCODE_MAX_M
             and data.shape[0] <= FUSED_ENCODE_MAX_N):
-        vals = encode_fused_bytes_vals(data, ends, data.shape[0],
+        from .ops.pallas.fused_train import fused_capacity
+
+        n = int(data.shape[0])
+        d, e, _ = _pack_raw(data, np.asarray(ends), fused_capacity(n))
+        vals = encode_fused_bytes_vals(d, e, n,
                                        dev.merge_pairs, dev.merge_ids)
         return [
             v[v >= 0].astype(np.int32)
@@ -414,17 +424,27 @@ def _train_capacity(n: int, num_merges: int, opts) -> int | None:
 
 
 def _pack_raw(data: np.ndarray, ends: np.ndarray, cap: int):
-    """Pad corpus bytes + chunk ends for the fused-from-bytes trainer: uint8
-    data to the stream capacity, int32 ends to an /8-octave bucket (fill =
-    cap, which the device-side end-marker scatter drops as out-of-range)."""
+    """Pad corpus bytes + chunk boundaries for the fused-from-bytes trainer:
+    uint8 data to the stream capacity, boundaries to an /8-octave bucket.
+
+    Boundaries ship as uint16 chunk LENGTHS when every chunk fits (the
+    common case by far: GPT-pattern chunks average ~3 bytes, while int32
+    END OFFSETS would out-weigh the corpus itself on the wire); corpora
+    with a >=64 KB chunk fall back to int32 ends (fill = cap, dropped by
+    the device-side end-marker scatter)."""
     n = int(data.shape[0])
     d = np.zeros(cap, dtype=np.uint8)
     d[:n] = data
     p = 1 << max(len(ends) - 1, 1).bit_length()
     gran = max(128, p // 8)
     ecap = max(128, -(-len(ends) // gran) * gran)
-    e = np.full(ecap, cap, dtype=np.int32)
-    e[:len(ends)] = ends
+    lens = np.diff(ends, prepend=0)
+    if len(ends) == 0 or int(lens.max()) < (1 << 16):
+        e = np.zeros(ecap, dtype=np.uint16)
+        e[:len(ends)] = lens
+    else:
+        e = np.full(ecap, cap, dtype=np.int32)
+        e[:len(ends)] = ends
     return d, e, np.int32(n)
 
 

@@ -32,10 +32,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fused_train import (
-    C, SCAN_TILE_ROWS, TILED_MIN_R, _cumsum_flat, _prep_from_bytes,
-    _prep_planes, _select_scan_fwd, _select_scan_fwd_exclusive,
-    _select_scan_rev_exclusive, tiled_adjacency, tiled_apply,
-    tiled_mask_dead,
+    C, SCAN_TILE_ROWS, TILED_MIN_R, _compact_inplace, _cumsum_flat,
+    _prep_from_bytes, _prep_from_bytes_u16, _prep_planes, _select_scan_fwd,
+    _select_scan_fwd_exclusive, _select_scan_rev_exclusive, tiled_adjacency,
+    tiled_apply, tiled_mask_dead,
 )
 
 FUSED_ENCODE_MAX_N = 1 << 22
@@ -44,7 +44,7 @@ FUSED_ENCODE_MAX_M = 2048
 
 def _kernel(ids_in, seg_in, live_in, pairs_in, nid_in, out_ref,
             ids_ref, seg_ref, live_ref, a_ref, b_ref, dma_sems,
-            *, R: int, M: int):
+            *, R: int, M: int, compact: bool = False):
     for k, (src, dst) in enumerate(((ids_in, ids_ref), (seg_in, seg_ref),
                                     (live_in, live_ref))):
         pltpu.make_async_copy(src, dst, dma_sems.at[k]).start()
@@ -88,6 +88,36 @@ def _kernel(ids_in, seg_in, live_in, pairs_in, nid_in, out_ref,
 
     jax.lax.fori_loop(0, M, round_tiled if tiled else round_plane, 0)
 
+    if compact:
+        # device-side compaction halves (at least) the result plane that
+        # crosses the tunnel: out = header row + the first R//2 rows of the
+        # packed token stream. Header: n_out split across two lanes (so it
+        # survives the int16 narrowing downstream) + an overflow flag for
+        # the rare n_out > (R//2)*C corpus (host falls back to the full
+        # plane).
+        def count_tile(t, acc):
+            sl = pl.ds(t * SCAN_TILE_ROWS, SCAN_TILE_ROWS)
+            return acc + jnp.sum(live_ref[sl, :])
+
+        n_out = jax.lax.fori_loop(0, T, count_tile, jnp.int32(0))
+        _compact_inplace(ids_ref, seg_ref, live_ref, a_ref, b_ref,
+                         jnp.int32(R * C), n_out)
+        half = R // 2
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+        hdr = jnp.where(lane == 0, n_out & 0x7FFF,
+                        jnp.where(lane == 1, n_out >> 15,
+                                  jnp.where(lane == 2,
+                                            (n_out > half * C)
+                                            .astype(jnp.int32), 0)))
+        out_ref[pl.ds(0, 1), :] = hdr
+        pltpu.make_async_copy(ids_ref.at[pl.ds(0, half), :],
+                              out_ref.at[pl.ds(1, half), :],
+                              dma_sems.at[0]).start()
+        pltpu.make_async_copy(ids_ref.at[pl.ds(0, half), :],
+                              out_ref.at[pl.ds(1, half), :],
+                              dma_sems.at[0]).wait()
+        return
+
     # tombstone the dead positions and ship the single result plane out
     if tiled:
         tiled_mask_dead(ids_ref, live_ref, T)
@@ -97,16 +127,22 @@ def _kernel(ids_in, seg_in, live_in, pairs_in, nid_in, out_ref,
     pltpu.make_async_copy(ids_ref, out_ref, dma_sems.at[0]).wait()
 
 
-@functools.partial(jax.jit, static_argnames=("M", "narrow", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("M", "narrow", "compact", "interpret"))
 def _fused_encode_raw(ids2, seg2, live2, pairs, nids, M: int,
-                      narrow: bool = False, interpret: bool = False):
+                      narrow: bool = False, compact: bool = False,
+                      interpret: bool = False):
     R = ids2.shape[0]
+    out_rows = (1 + R // 2) if compact else R
     out = pl.pallas_call(
-        functools.partial(_kernel, R=R, M=M),
-        out_shape=jax.ShapeDtypeStruct((R, C), jnp.int32),
+        functools.partial(_kernel, R=R, M=M, compact=compact),
+        out_shape=jax.ShapeDtypeStruct((out_rows, C), jnp.int32),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        # compact mode writes its header row directly (stores need VMEM);
+        # the full plane ships via DMA from an ANY-space ref
+        out_specs=pl.BlockSpec(
+            memory_space=pltpu.VMEM if compact else pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((R, C), jnp.int32),  # ids
             pltpu.VMEM((R, C), jnp.int32),  # seg
@@ -204,6 +240,16 @@ def encode_fused_planes(data, seg, n, merge_pairs, merge_new_ids,
     return _finish(out)
 
 
+def _prep_bytes_any(data, ends, n, R):
+    """Planes from bytes + boundaries; uint16 arrays are chunk LENGTHS
+    (half the wire of int32 end offsets — see engine._pack_raw)."""
+    ends = jnp.asarray(ends)
+    if ends.dtype == jnp.uint16:
+        return _prep_from_bytes_u16(jnp.asarray(data), ends,
+                                    jnp.asarray(n), R)
+    return _prep_from_bytes(jnp.asarray(data), ends, jnp.asarray(n), R)
+
+
 def encode_fused_bytes_vals(data, ends, n, merge_pairs, merge_new_ids,
                             interpret: bool = False):
     """Tombstoned flat result values (length R*C >= n): position i holds the
@@ -214,8 +260,7 @@ def encode_fused_bytes_vals(data, ends, n, merge_pairs, merge_new_ids,
     import numpy as np
 
     R = _rows_for(data.shape[0])
-    ids2, seg2, live2 = _prep_from_bytes(jnp.asarray(data), jnp.asarray(ends),
-                                         jnp.asarray(n), R)
+    ids2, seg2, live2 = _prep_bytes_any(data, ends, n, R)
     pairs, nids, M = _pack_table(merge_pairs, merge_new_ids)
     out = _fused_encode_raw(ids2, seg2, live2, pairs, nids, max(M, 1),
                             narrow=_narrow(merge_new_ids),
@@ -225,12 +270,26 @@ def encode_fused_bytes_vals(data, ends, n, merge_pairs, merge_new_ids,
 
 def encode_fused_bytes(data, ends, n, merge_pairs, merge_new_ids,
                        interpret: bool = False):
-    """Same contract as encode_fused, fed by raw corpus bytes + chunk-end
-    offsets: planes are built on device, cutting host->device wire traffic
-    ~8x vs shipping two int32 planes (the tunnel transport is the encode
-    path's main cost at bench scale)."""
+    """Same contract as encode_fused, fed by raw corpus bytes + chunk
+    boundaries: planes are built on device (host->device wire ~8x smaller
+    than two int32 planes) and the result comes back DEVICE-COMPACTED as a
+    half-height int16 plane (device->host wire ~8x smaller than the full
+    int32 tombstone plane) — the encode path at bench scale is tunnel-bound
+    on both directions. The rare corpus with more output tokens than
+    (R//2)*128 (almost nothing merged) falls back to the full plane."""
     import numpy as np
 
-    vals = encode_fused_bytes_vals(data, ends, n, merge_pairs, merge_new_ids,
-                                   interpret)
-    return vals[vals >= 0].astype(np.int32)
+    R = _rows_for(data.shape[0])
+    ids2, seg2, live2 = _prep_bytes_any(data, ends, n, R)
+    pairs, nids, M = _pack_table(merge_pairs, merge_new_ids)
+    out = _fused_encode_raw(ids2, seg2, live2, pairs, nids, max(M, 1),
+                            narrow=_narrow(merge_new_ids), compact=True,
+                            interpret=interpret)
+    arr = np.asarray(out)  # ONE wire transfer: header row + half plane
+    hdr = arr[0].astype(np.int64)
+    n_out = int(hdr[0]) | (int(hdr[1]) << 15)
+    if hdr[2]:  # overflow: recompute with the full-plane output
+        vals = encode_fused_bytes_vals(data, ends, n, merge_pairs,
+                                       merge_new_ids, interpret)
+        return vals[vals >= 0].astype(np.int32)
+    return arr[1:].reshape(-1)[:n_out].astype(np.int32)

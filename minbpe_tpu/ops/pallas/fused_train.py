@@ -2,43 +2,51 @@
 kernel launch.
 
 Motivation: per-kernel overheads (dispatch, and on remotely-tunneled PJRT
-backends, per-kernel round-trips) dominate BPE rounds, whose math is tiny.
-At bench scale the whole training state fits in VMEM (1 MB ids for a 256K
-stream), so this kernel keeps state on-chip and runs every merge round inside
-one ``fori_loop`` — zero HBM traffic between rounds, zero dispatch overhead.
+backends, ~25 ms round-trips) dominate BPE rounds, whose math is tiny. The
+whole training state fits in VMEM (1 MB ids per 256K tokens), so this kernel
+keeps state on-chip and runs EVERY merge round of the whole run inside one
+``fori_loop`` — one launch, one host sync, zero HBM traffic between rounds.
 
 The round is formulated gather/scatter/sort-free so every op lowers cleanly
 to Mosaic:
 
 - pair adjacency over tombstones ("id/seg of the next live token") is a
-  blocked reverse select-scan (rolls + selects, log passes) — no pointers,
-  no compaction, ever;
+  blocked reverse select-scan (rolls + selects, log passes) — no pointers;
 - pair counts are one-hot MXU matmuls accumulated per 128-element row
-  (`counts = sum_r A_r^T B_r`), rebuilt each round — no scatter;
+  (`counts = sum_r A_r^T B_r`), rebuilt each round at the CURRENT vocab
+  width (a two-variant switch: rounds below 384 ids count 384 wide) over
+  the CURRENT live prefix — no scatter. Rebuilding beats delta/histogram
+  maintenance on this hardware: scatter-free [V]-histograms of changed
+  positions cost N*V VPU compares or N*V one-hot build traffic per round,
+  which measures >= the full MXU rebuild at V <= 1024 (round-4 probes);
+- every COMPACT_EVERY rounds (ctl-tunable) the live tokens are
+  front-compacted IN VMEM: plane-parallel in-row packing by bit-decomposed
+  conditional lane shifts + a serial row-stitch (dynamic-row RMW appends),
+  preserving flat order and with it the first-occurrence tie-break order.
+  All per-round work then scales with the integral of the live count over
+  rounds (-25% at bench scale, bit-identical at every cadence);
 - the reference tie-break (earliest first occurrence among max-count pairs,
   minbpe/basic.py:35 + base.py:20-21) runs only on actual ties, as a serial
-  walk over the tied pairs (trip count = the actual tie count): per pair one
-  masked min-reduce gives its first stream occurrence, and the global min
-  wins — no gather, no matmul sweep;
+  walk over the tied pairs (trip count = the actual tie count);
 - left-first overlap parity (minbpe/base.py:33-41) uses chain positions
   (cumsum of live) and run-start chain positions (forward select-scan);
 - consumed-token kills are "previous live token was kept" — another
-  exclusive select-scan.
+  exclusive select-scan. The kernel tracks live tokens by KEPT SITES (merge
+  log column 3), not occurrence counts: for pa == pb runs, occurrences
+  overlap and counting them would under-estimate the live prefix.
 
 Layout: the stream lives as (R, 128) int32 in VMEM, flat order row-major.
-Scans are two-level (in-row lane scans + cross-row scans). One-hot building
-stacks STATIC lane slices of each (128, 128) tile on sublanes (the group
-loops are python-unrolled): counting is order-free, so no transpose, no
-flattening relayout, and no masked-reduce extraction anywhere — the only
-remaining per-round traffic is the (4096, V) int8 one-hot planes themselves,
-which is the measured cost floor (see scripts/profile_phases.py).
+Scans are two-level (in-row lane scans + cross-row scans), walked in
+(128, 128) tiles with scalar carries so transients stay in-register.
+Transfers: corpus bytes ship as uint8 + uint16 chunk lengths; the host
+fetches only the (M, 4) merge-log slice (pa, pb, count, kept).
 
-Supported sizes: N <= 4M tokens (128 MB VMEM; 5 persistent planes, scans run
-tile-sequentially with scalar carries so transients stay in-register),
-V <= 1024. Larger runs use the stepped/sort paths (ops/train_inc.py,
-ops/train.py); multi-chip runs shard first (parallel/train.py).
+Supported sizes: N <= 4M tokens (128 MB VMEM; 5 persistent planes),
+V <= 1024. Larger runs use the sort-round loop (ops/train_sortloop.py);
+multi-chip runs shard first (parallel/train.py).
 
-Exactness: bit-identical to ops.train.train_merges (tests/test_fused.py).
+Exactness: bit-identical to ops.train.train_merges (tests/test_fused.py),
+including compaction crossings and overlap-run live tracking.
 """
 
 from __future__ import annotations
@@ -240,15 +248,19 @@ def _tile_pick(v, tflat, p, fill):
     return jnp.max(jnp.where(tflat == p, v, fill))
 
 
-def tiled_adjacency(ids_ref, seg_ref, live_ref, a_ref, b_ref, T):
+def tiled_adjacency(ids_ref, seg_ref, live_ref, a_ref, b_ref, T, t_cur=None):
     """Reverse pass: a/b = (id, next-live id) masked to countable pairs
     (same segment, both live) — the array form of adjacent-pair counting
-    over chunk lists (minbpe/regex.py:52-54)."""
+    over chunk lists (minbpe/regex.py:52-54).
+
+    t_cur (optional, traced): only tiles [0, t_cur) hold live data — tiles
+    beyond the front-compacted prefix are skipped entirely."""
     TRS = SCAN_TILE_ROWS
     tflat = _tile_flat_iota()
+    n_t = T if t_cur is None else t_cur
 
     def body(tt, carry):
-        t = T - 1 - tt
+        t = n_t - 1 - tt
         cid, cseg = carry  # id/seg of the first live position after tile
         sl = pl.ds(t * TRS, TRS)
         ids_t = ids_ref[sl, :]
@@ -269,19 +281,26 @@ def tiled_adjacency(ids_ref, seg_ref, live_ref, a_ref, b_ref, T):
                 jnp.where(any_live, _tile_pick(seg_t, tflat, fl, -2**31),
                           cseg))
 
-    jax.lax.fori_loop(0, T, body, (jnp.int32(-1), jnp.int32(-2)))
+    jax.lax.fori_loop(0, n_t, body, (jnp.int32(-1), jnp.int32(-2)))
 
 
-def tiled_apply(ids_ref, live_ref, a_ref, b_ref, pa, pb, new_id, T):
+def tiled_apply(ids_ref, live_ref, a_ref, b_ref, pa, pb, new_id, T,
+                t_cur=None):
     """Forward pass: apply the merge (pa, pb) -> new_id with the reference's
     left-first overlap rule (minbpe/base.py:25-41) — keep = match whose
     chain distance from its run start is even; kill the token consumed
-    by a kept match (the next live one)."""
+    by a kept match (the next live one).
+
+    Returns the number of KEPT merge sites (= tokens consumed), which is
+    strictly less than the occurrence count when pa == pb occurrences
+    overlap — the exact quantity a live-token tracker must subtract.
+    t_cur as in tiled_adjacency."""
     TRS = SCAN_TILE_ROWS
     tflat = _tile_flat_iota()
+    n_t = T if t_cur is None else t_cur
 
     def body(t, carry):
-        mc, cc, rc, kc = carry
+        mc, cc, rc, kc, ktot = carry
         sl = pl.ds(t * TRS, TRS)
         live_t = live_ref[sl, :]
         ids_t = ids_ref[sl, :]
@@ -304,11 +323,14 @@ def tiled_apply(ids_ref, live_ref, a_ref, b_ref, pa, pb, new_id, T):
         return (jnp.where(has, _tile_pick(m, tflat, fl, -2**31), mc),
                 _tile_last(chain),
                 jnp.where(_tile_last(s4) == 1, _tile_last(cps), rc),
-                jnp.where(has, _tile_pick(keep, tflat, fl, -2**31), kc))
+                jnp.where(has, _tile_pick(keep, tflat, fl, -2**31), kc),
+                ktot + jnp.sum(keep))
 
-    jax.lax.fori_loop(
-        0, T, body,
-        (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+    carry = jax.lax.fori_loop(
+        0, n_t, body,
+        (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+         jnp.int32(0)))
+    return carry[4]
 
 
 # Below this many rows, whole-plane value scans beat the tiled passes: the
@@ -361,16 +383,133 @@ def tiled_mask_dead(ids_ref, live_ref, T):
 # the kernel
 # ---------------------------------------------------------------------------
 
-def _kernel(ids_in, seg_in, live_in, ctl_in, out_ref, ids_out, seg_out,
+def _compact_inplace(ids_ref, seg_ref, live_ref, a_ref, b_ref, bound, n_live):
+    """Front-compact the live tokens of the first ``bound`` stream slots —
+    entirely in-VMEM, scatter-free. Flat order (and with it the reference's
+    first-occurrence tie-break order, minbpe/base.py:20-21) is preserved.
+
+    Two phases:
+    1. plane-parallel in-row packing: every live element moves left within
+       its 128-lane row by the number of dead slots before it, via 7
+       bit-decomposed conditional lane-shifts (collision-free for monotone
+       shifts); per-row live counts land in live_ref (overwritten later);
+    2. a serial row-stitch appends each packed row at the running global
+       offset (each spans <= 2 output rows) into a_ref/b_ref staging, then
+       the staging is copied back with PAD fill.
+
+    Returns nothing; after the call the planes hold the packed stream of
+    n_live tokens followed by PAD (ids -1 / seg -2 / live 0) up to bound.
+    """
+    TRS = SCAN_TILE_ROWS
+    t_b = (bound + TILE_ELEMS - 1) // TILE_ELEMS
+    rows_b = (n_live + C - 1) // C  # rows holding output after packing
+
+    # --- phase 1: in-row packing (per tile; rows independent) -------------
+    def pack_tile(t, _):
+        def work(_):
+            sl = pl.ds(t * TRS, TRS)
+            x = ids_ref[sl, :]
+            y = seg_ref[sl, :]
+            l = live_ref[sl, :]
+            dead = 1 - l
+            inc = dead
+            k = 1
+            while k < C:
+                inc = inc + _shift_lanes(inc, k, 0)
+                k *= 2
+            s = inc - dead  # exclusive in-row dead count = shift amount
+            occ = l
+            for b in range(7):
+                step = 1 << b
+                leav = occ * ((s >> b) & 1)
+                inc_f = _shift_lanes_rev(leav, step, 0)
+                cx = _shift_lanes_rev(x, step, -1)
+                cy = _shift_lanes_rev(y, step, -2)
+                cs = _shift_lanes_rev(s, step, 0)
+                x = jnp.where(inc_f == 1, cx, x)
+                y = jnp.where(inc_f == 1, cy, y)
+                s = jnp.where(inc_f == 1, cs - step, s)
+                occ = jnp.where(inc_f == 1, 1, occ * (1 - leav))
+            krow = jnp.sum(l, axis=1, keepdims=True)  # (TRS, 1)
+            ids_ref[sl, :] = x
+            seg_ref[sl, :] = y
+            live_ref[sl, :] = jnp.broadcast_to(krow, (TRS, C))
+            return 0
+
+        return jax.lax.cond(t * TILE_ELEMS < bound, work, lambda _: 0, 0)
+
+    jax.lax.fori_loop(0, t_b, pack_tile, 0)
+
+    # --- phase 2: serial row stitch into staging --------------------------
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+    src_rows = (bound + C - 1) // C
+
+    def row_body(r, off):
+        k = jnp.max(live_ref[pl.ds(r, 1), :])
+        row_i = ids_ref[pl.ds(r, 1), :]
+        row_s = seg_ref[pl.ds(r, 1), :]
+        q = off // C
+        ql = off % C
+        rot_i = pltpu.roll(row_i, ql, axis=1)
+        rot_s = pltpu.roll(row_s, ql, axis=1)
+        m0 = (lane1 >= ql) & (lane1 < ql + k)
+        a_ref[pl.ds(q, 1), :] = jnp.where(m0, rot_i, a_ref[pl.ds(q, 1), :])
+        b_ref[pl.ds(q, 1), :] = jnp.where(m0, rot_s, b_ref[pl.ds(q, 1), :])
+        q1 = jnp.minimum(q + 1, ids_ref.shape[0] - 1)  # m1 empty on clamp
+        m1 = lane1 < (ql + k - C)
+        a_ref[pl.ds(q1, 1), :] = jnp.where(m1, rot_i, a_ref[pl.ds(q1, 1), :])
+        b_ref[pl.ds(q1, 1), :] = jnp.where(m1, rot_s, b_ref[pl.ds(q1, 1), :])
+        return off + k
+
+    jax.lax.fori_loop(0, src_rows, row_body, jnp.int32(0))
+
+    # --- phase 3: copy back with PAD fill over the old extent -------------
+    tflat = _tile_flat_iota()
+
+    def copy_tile(t, _):
+        def work(_):
+            sl = pl.ds(t * TRS, TRS)
+            flat = tflat + t * TILE_ELEMS
+            inside = flat < n_live
+            ids_ref[sl, :] = jnp.where(inside, a_ref[sl, :], -1)
+            seg_ref[sl, :] = jnp.where(inside, b_ref[sl, :], -2)
+            live_ref[sl, :] = inside.astype(jnp.int32)
+            return 0
+
+        return jax.lax.cond(t * TILE_ELEMS < bound, work, lambda _: 0, 0)
+
+    jax.lax.fori_loop(0, t_b, copy_tile, 0)
+
+
+# Compaction cadence: every COMPACT_EVERY rounds, if at least 1/8 of the
+# prefix is dead. Early rounds kill the most tokens, so the check is cheap
+# insurance either way.
+COMPACT_EVERY = 16
+
+
+def _kernel(ids_in, seg_in, live_in, ctl_in, out_ref,
             ids_ref, seg_ref, live_ref,
             a_ref, b_ref, dma_sems,
-            *, R: int, V: int, M: int, phases: str = "full"):
-    # `phases` is a measurement knob (scripts/profile_phases.py): "none" /
-    # "adj" / "count" / "select" truncate each merge round after that phase
-    # (writing a value derived from it so nothing is dead-code-eliminated),
-    # letting per-phase cost be attributed by differencing wall times.
-    # Production always runs "full".
-    # inputs live in HBM; copy them into the VMEM working set
+            *, R: int, V: int, Mp: int, phases: str = "full"):
+    """Single-launch whole-training kernel.
+
+    The ENTIRE merge loop runs in this one launch: per round the stream is
+    re-derived (adjacency), counted (one-hot MXU matmuls in 128-wide
+    vocab blocks, skipping blocks above the current max id), selected
+    (reference tie-break, pay-per-tie), and merged in place; every
+    COMPACT_EVERY rounds the live tokens are front-compacted in VMEM
+    (_compact_inplace) so all per-round work shrinks with the live count —
+    count/scan cost tracks the integral of live tokens over rounds instead
+    of the initial stream size.
+
+    ctl: [0,0] fail-round so far, [1,0] live token count, [2,0] first global
+    round r0, [3,0] m_eff = rounds to run (dynamic: one compiled kernel per
+    (R, V, Mp) serves any merge count). The merge log row i is
+    (pa, pb, count, kept); the final fail round lands in row m_eff.
+
+    `phases` is the profiling knob (scripts/profile_phases.py): truncate
+    each round after "none"/"adj"/"count"/"select" for cost attribution.
+    """
     for src, dst, k in ((ids_in, ids_ref, 0), (seg_in, seg_ref, 1),
                         (live_in, live_ref, 2)):
         pltpu.make_async_copy(src, dst, dma_sems.at[k]).start()
@@ -378,73 +517,113 @@ def _kernel(ids_in, seg_in, live_in, ctl_in, out_ref, ids_out, seg_out,
                         (live_in, live_ref, 2)):
         pltpu.make_async_copy(src, dst, dma_sems.at[k]).wait()
 
-    # chained control state (lets segments run back-to-back with no host
-    # round trip): [0,0] = GLOBAL fail round so far, [1,0] = live token count,
-    # [2,0] = r0 (first global merge round of this segment), [3,0] = m_eff
-    # (rounds actually wanted from this segment; rounds >= m_eff cost one
-    # branch each). r0/m_eff are dynamic so every segment of a staged plan —
-    # including a short final segment — shares ONE compiled kernel per
-    # (R, V): cold-start compile cost never scales with merge count.
     fail_in = ctl_in[0, 0]
-    n_live = ctl_in[1, 0]
+    n_live0 = ctl_in[1, 0]
     r0 = ctl_in[2, 0]
     m_eff = ctl_in[3, 0]
+    # compaction cadence + dead-fraction threshold shift ride in ctl
+    # (dynamic: tunable without recompiling)
+    c_every = jnp.maximum(ctl_in[4, 0], 1)
+    c_on = ctl_in[4, 0] > 0
+    c_shift = jnp.where(ctl_in[5, 0] > 0, ctl_in[5, 0], 3)
 
     TRS = SCAN_TILE_ROWS
     T = R // TRS
     tflat = jax.lax.broadcasted_iota(jnp.int32, (TRS, C), 0) * C + \
         jax.lax.broadcasted_iota(jnp.int32, (TRS, C), 1)
 
-    GROUP = 32  # lanes per matmul: contraction = GROUP * TILE_ROWS = 4096
-    GC = GROUP * TILE_ROWS
-    viota_b = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, V), 1)
-    n_tiles = R // TILE_ROWS
+    GROUP = 32  # lanes per matmul group: contraction = GROUP * TILE_ROWS
+    NB = V // 128
+    viota_full = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, V), 1)
 
-    def one_hot_group(t, g0):
-        """t: (TILE_ROWS, C) tile in native layout; lanes g0..g0+GROUP-1
-        (g0 STATIC — the group loops below are python-unrolled) each become
-        one (TILE_ROWS, V) one-hot block via a lane-broadcast compare, then
-        the blocks stack on sublanes -> (GC, V) int8. The compare reads ONE
-        lane slice per block (vs. a full-tile masked reduce per lane before:
-        ~2 MB of re-reads per group) and canonicalizes the layout, keeping
-        the block concat legal for Mosaic (concatenating the raw lane slices
-        themselves trips 'offset mismatch on non-concat dimension').
-
-        Stacking is lane-major, NOT flat stream order: counting is a sum
-        over elements, so any element order works as long as the A/B pairing
-        per element is consistent (both sides use this same stacking)."""
+    def one_hot_full(t, g0):
         blocks = [
-            (t[:, j:j + 1] == viota_b).astype(jnp.int8)
+            (t[:, j:j + 1] == viota_full).astype(jnp.int8)
             for j in range(g0, g0 + GROUP)
         ]
-        return jnp.concatenate(blocks, axis=0)  # (GC, V)
+        return jnp.concatenate(blocks, axis=0)
 
-    def count_matrix():
-        """counts[x, y] = #positions with (a, b) == (x, y); -1 entries skip.
-        int8 one-hots drive the MXU's double-rate int8 path; exact int32
-        accumulation (products are 0/1). Tiles past the live prefix (the
-        stream is kept front-compacted between segments) are skipped."""
-        acc = jnp.zeros((V, V), jnp.int32)
+    GC = GROUP * TILE_ROWS
+    n_tiles = R // TILE_ROWS
+
+    def count_width(bound, W):
+        """One-hot MXU counting at STATIC width W (a multiple of 128):
+        per tile, (GC, W) int8 one-hots of the a/b planes feed W x W int32
+        accumulation; tiles beyond the compacted prefix are skipped. Result
+        is zero-padded to (V, V)."""
+
+        def oh(t, g0):
+            blocks = [
+                (t[:, j:j + 1] ==
+                 jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, W), 1)
+                 ).astype(jnp.int8)
+                for j in range(g0, g0 + GROUP)
+            ]
+            return jnp.concatenate(blocks, axis=0)
+
+        acc = jnp.zeros((W, W), jnp.int32)
 
         def tile_body(t, acc):
             def work(acc):
                 at = a_ref[pl.ds(t * TILE_ROWS, TILE_ROWS), :]
                 bt = b_ref[pl.ds(t * TILE_ROWS, TILE_ROWS), :]
-                for g in range(C // GROUP):  # unrolled: static lane slices
-                    A = one_hot_group(at, g * GROUP)
-                    B = one_hot_group(bt, g * GROUP)
+                for g in range(C // GROUP):
+                    A = oh(at, g * GROUP)
+                    B = oh(bt, g * GROUP)
                     acc = acc + jax.lax.dot_general(
                         A, B, (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.int32,
                     )
                 return acc
 
-            return jax.lax.cond(t * TILE_ELEMS < n_live, work,
+            return jax.lax.cond(t * TILE_ELEMS < bound, work,
                                 lambda a: a, acc)
 
-        return jax.lax.fori_loop(0, n_tiles, tile_body, acc)
+        t_b = (bound + TILE_ELEMS - 1) // TILE_ELEMS
+        acc = jax.lax.fori_loop(0, t_b, tile_body, acc)
+        if W == V:
+            return acc
+        return jnp.pad(acc, ((0, V - W), (0, V - W)))
 
-    def first_match_index(ca, cb):
+    def count_blocked(bound, nvb):
+        """Dynamic-vocab-width counting: ids present in round i are
+        < 256 + r0 + i, so rounds below 384 ids count at width 384 instead
+        of V — a switch between two fully-static width variants. (A cond
+        per 128-block was measured to serialize on the scalar core, and
+        more variants inflate the Mosaic compile.)"""
+        if V <= 384:
+            return count_width(bound, V)
+        return jax.lax.cond(
+            nvb * 128 <= 384,
+            functools.partial(count_width, W=384),
+            functools.partial(count_width, W=V),
+            bound)
+
+    def count_full(bound):
+        """Full-width one-hot counting (V > 512: the blocked form's
+        unrolled cond grid gets large; dynamic-V savings matter less)."""
+        acc = jnp.zeros((V, V), jnp.int32)
+
+        def tile_body(t, acc):
+            def work(acc):
+                at = a_ref[pl.ds(t * TILE_ROWS, TILE_ROWS), :]
+                bt = b_ref[pl.ds(t * TILE_ROWS, TILE_ROWS), :]
+                for g in range(C // GROUP):
+                    A = one_hot_full(at, g * GROUP)
+                    B = one_hot_full(bt, g * GROUP)
+                    acc = acc + jax.lax.dot_general(
+                        A, B, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                return acc
+
+            return jax.lax.cond(t * TILE_ELEMS < bound, work,
+                                lambda a: a, acc)
+
+        t_b = (bound + TILE_ELEMS - 1) // TILE_ELEMS
+        return jax.lax.fori_loop(0, t_b, tile_body, acc)
+
+    def first_match_index(ca, cb, t_cur):
         """Smallest flat stream position with (a, b) == (ca, cb), tiled."""
 
         def body(t, best):
@@ -453,63 +632,72 @@ def _kernel(ids_in, seg_in, live_in, ctl_in, out_ref, ids_out, seg_out,
             cand = jnp.min(jnp.where(hit, tflat + t * (TRS * C), INT32_MAX))
             return jnp.minimum(best, cand)
 
-        return jax.lax.fori_loop(0, T, body, jnp.int32(INT32_MAX))
-
-    tiled = R > TILED_MIN_R
+        return jax.lax.fori_loop(0, t_cur, body, jnp.int32(INT32_MAX))
 
     def _truncate(i, val):
         out_ref[pl.ds(i, 1), :] = jnp.zeros((1, C), jnp.int32) + val
 
-    def round_body(i, fail):
+    def round_body(i, carry):
+        fail, n_live, bound = carry
         if phases == "none":
             _truncate(i, i)
-            return fail
-        if tiled:
-            tiled_adjacency(ids_ref, seg_ref, live_ref, a_ref, b_ref, T)
-        else:
-            plane_adjacency(ids_ref, seg_ref, live_ref, a_ref, b_ref)
+            return fail, n_live, bound
+
+        # periodic in-VMEM front compaction: all per-round work below
+        # scales with `bound`, which tracks the live count
+        do_c = c_on & (i > 0) & (i % c_every == 0) & \
+            (bound - n_live > (bound >> c_shift))
+
+        def compact(_):
+            _compact_inplace(ids_ref, seg_ref, live_ref, a_ref, b_ref,
+                             bound, n_live)
+            return n_live
+
+        bound = jax.lax.cond(do_c, compact, lambda _: bound, 0)
+        t_cur = (bound + TILE_ELEMS - 1) // TILE_ELEMS
+
+        tiled_adjacency(ids_ref, seg_ref, live_ref, a_ref, b_ref, T, t_cur)
         if phases == "adj":
             _truncate(i, jnp.max(a_ref[:]) + jnp.max(b_ref[:]))
-            return fail
+            return fail, n_live, bound
 
-        counts = count_matrix()
+        # ids present this round are < 256 + r0 + i: skip vocab blocks
+        # above that (the count matrix there is identically zero)
+        nvb = jnp.minimum((256 + r0 + i + 127) // 128, NB)
+        if V <= 512:
+            counts = count_blocked(bound, nvb)
+        else:
+            counts = count_full(bound)
         maxc = jnp.max(counts)
         if phases == "count":
             _truncate(i, maxc)
-            return fail
+            return fail, n_live, bound
         tied = counts == maxc
         n_tied = jnp.sum(tied.astype(jnp.int32))
 
         def pick_unique(_):
-            # first flat index in the (V, V) matrix achieving maxc
             vi = jax.lax.broadcasted_iota(jnp.int32, (V, V), 0) * V + \
                 jax.lax.broadcasted_iota(jnp.int32, (V, V), 1)
             flat = jnp.min(jnp.where(tied, vi, INT32_MAX))
             return flat // V, flat % V
 
         def pick_tied_serial(_):
-            """Walk the tied pairs one by one (cheap full-plane reduces, no
-            matmul sweep): the winner is the pair whose first occurrence in
-            the stream is earliest — per-pair first occurrence is a masked
-            min-reduce, and the global minimum over tied pairs equals the
-            first index whose pair is tied. The trip count is the ACTUAL tie
-            count (ties are almost always tiny — the bench corpus never
-            exceeds 6 tied pairs), so this is exact for any tie set at
-            pay-per-tie cost; each iteration consumes exactly one tied key
-            in ascending flat-key order. When maxc == 0 (corpus exhausted)
-            EVERYTHING ties — but the pick is then unused (the round is
-            skipped), so the trip count is forced to 0."""
+            """Walk the tied pairs in ascending flat-key order; the winner
+            is the pair whose first stream occurrence is earliest
+            (minbpe/basic.py:35 + base.py:20-21). Trip count = ACTUAL tie
+            count — pay-per-tie, exact for any tie set. Worst-case bound:
+            rounds with huge tie sets (e.g. the maxc == 1 tail on
+            adversarial corpora) pay one masked min-reduce over the
+            compacted prefix per tied pair; the bench corpus never exceeds
+            6 ties (ADVICE r3 #3 documents the trade)."""
             vi = jax.lax.broadcasted_iota(jnp.int32, (V, V), 0) * V + \
                 jax.lax.broadcasted_iota(jnp.int32, (V, V), 1)
 
-            # scalar-only loop state (Mosaic cannot carry vectors through
-            # scf.while): walk tied pairs in ascending flat-key order by
-            # re-reducing with a `> prev` mask instead of mutating the set.
             def body(t, st):
                 prev, best_fi, pa, pb = st
                 flat = jnp.min(jnp.where(tied & (vi > prev), vi, INT32_MAX))
                 ca, cb = flat // V, flat % V
-                fi = first_match_index(ca, cb)
+                fi = first_match_index(ca, cb, t_cur)
                 better = (flat < INT32_MAX) & (fi < best_fi)
                 return (flat,
                         jnp.where(better, fi, best_fi),
@@ -527,61 +715,42 @@ def _kernel(ids_in, seg_in, live_in, ctl_in, out_ref, ids_out, seg_out,
                               None)
         if phases == "select":
             _truncate(i, pa * V + pb)
-            return fail
-        # fail is GLOBAL (carried across segments through ctl)
+            return fail, n_live, bound
         ok = (maxc > 0) & (fail >= r0 + i)
 
-        def do(fail):
-            if tiled:
-                tiled_apply(ids_ref, live_ref, a_ref, b_ref, pa, pb,
-                            jnp.int32(256) + r0 + i, T)
-            else:
-                plane_apply(ids_ref, live_ref, a_ref, b_ref, pa, pb,
-                            jnp.int32(256) + r0 + i)
-            # record the round
+        def do(_):
+            kept = tiled_apply(ids_ref, live_ref, a_ref, b_ref, pa, pb,
+                               jnp.int32(256) + r0 + i, T, t_cur)
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
             row = jnp.where(lane == 0, pa,
                             jnp.where(lane == 1, pb,
-                                      jnp.where(lane == 2, maxc, 0)))
+                                      jnp.where(lane == 2, maxc,
+                                                jnp.where(lane == 3, kept,
+                                                          0))))
             out_ref[pl.ds(i, 1), :] = row
-            return fail
+            # kept (NOT maxc): for pa == pb overlapping occurrences,
+            # consumed tokens = kept sites < occurrence count
+            return fail, n_live - kept
 
-        def skip(fail):
+        def skip(_):
             out_ref[pl.ds(i, 1), :] = jnp.zeros((1, C), jnp.int32)
-            return jnp.where(maxc > 0, fail,
-                             jnp.minimum(fail, r0 + i))
+            return (jnp.where(maxc > 0, fail, jnp.minimum(fail, r0 + i)),
+                    n_live)
 
-        return jax.lax.cond(ok, do, skip, fail)
+        fail, n_live = jax.lax.cond(ok, do, skip, None)
+        return fail, n_live, bound
 
-    def maybe_round(i, fail):
-        def idle(fail):
-            out_ref[pl.ds(i, 1), :] = jnp.zeros((1, C), jnp.int32)
-            return fail
-
-        return jax.lax.cond(i < m_eff, lambda f: round_body(i, f), idle,
-                            fail)
-
-    fail = jax.lax.fori_loop(0, M, maybe_round, fail_in)
+    fail, n_live, _ = jax.lax.fori_loop(
+        0, m_eff, round_body, (fail_in, n_live0, n_live0))
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
-    out_ref[pl.ds(M, 1), :] = jnp.where(lane == 0, fail, 0)
-
-    # write the final stream state back to HBM (consumed tokens become -1 so
-    # the staged driver can compact without a separate live plane)
-    if tiled:
-        tiled_mask_dead(ids_ref, live_ref, T)
-    else:
-        ids_ref[:] = jnp.where(live_ref[:] == 1, ids_ref[:], -1)
-    for src, dst, k in ((ids_ref, ids_out, 0), (seg_ref, seg_out, 1)):
-        pltpu.make_async_copy(src, dst, dma_sems.at[k]).start()
-    for src, dst, k in ((ids_ref, ids_out, 0), (seg_ref, seg_out, 1)):
-        pltpu.make_async_copy(src, dst, dma_sems.at[k]).wait()
+    out_ref[pl.ds(m_eff, 1), :] = jnp.where(lane == 0, fail, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("R",))
 def _prep_from_bytes(data, ends, n, R: int):
     """Build the (R, C) working planes on device from raw corpus bytes and
     chunk-end offsets. This keeps the host->device transfer at ~1 byte per
-    corpus byte (uint8 data + int32 offsets) instead of 8 (two int32 planes);
+    corpus byte (uint8 data + offsets) instead of 8 (two int32 planes);
     the tunnel transport runs at ~46 MB/s, so wire bytes are expensive.
 
     Segment ids are recovered as seg[i] = #chunk-ends <= i via a scatter of
@@ -602,6 +771,17 @@ def _prep_from_bytes(data, ends, n, R: int):
 
 
 @functools.partial(jax.jit, static_argnames=("R",))
+def _prep_from_bytes_u16(data, lens, n, R: int):
+    """_prep_from_bytes fed by uint16 chunk LENGTHS instead of int32 end
+    offsets: with ~3-byte average chunks the offsets array in int32 is
+    larger than the corpus itself; uint16 deltas halve that wire cost.
+    Padding entries are 0 (their cumsum plateaus at n, whose marks only
+    touch positions >= n — masked out by live)."""
+    ends = jnp.cumsum(lens.astype(jnp.int32))
+    return _prep_from_bytes(data, ends, n, R)
+
+
+@functools.partial(jax.jit, static_argnames=("R",))
 def _prep_planes(ids, seg, n, R: int):
     """Pad/reshape a flat packed stream into (R, C) working planes."""
     N = ids.shape[0]
@@ -614,48 +794,18 @@ def _prep_planes(ids, seg, n, R: int):
     return ids2, seg2, live2
 
 
-@functools.partial(jax.jit, static_argnames=("R2",))
-def _compact_planes(ids2, seg2, R2: int):
-    """Squeeze tombstones (-1 ids, written by the kernel's final state dump)
-    out of the stream, into fresh (R2, C) planes. A stable compaction: flat
-    order — and with it the reference's first-occurrence tie-break order — is
-    preserved. Runs as plain XLA (cumsum + scatter), not Pallas: it executes
-    once per 128-round segment, off the hot path."""
-    flat_ids = ids2.reshape(-1)
-    flat_seg = seg2.reshape(-1)
-    live = flat_ids >= 0
-    pos = jnp.cumsum(live.astype(jnp.int32)) - 1
-    cap = R2 * C
-    idx = jnp.where(live, pos, cap)  # dead slots scatter out of bounds
-    new_ids = jnp.full((cap,), -1, jnp.int32).at[idx].set(
-        flat_ids, mode="drop")
-    new_seg = jnp.full((cap,), -2, jnp.int32).at[idx].set(
-        flat_seg, mode="drop")
-    n_live = pos[-1] + 1
-    new_live = (jnp.arange(cap, dtype=jnp.int32) < n_live).astype(jnp.int32)
-    return (new_ids.reshape(R2, C), new_seg.reshape(R2, C),
-            new_live.reshape(R2, C))
-
-
-@functools.partial(jax.jit, static_argnames=("R", "V", "m", "interpret"))
-def _run_segment(ids2, seg2, live2, ctl, R: int, V: int, m: int,
-                 interpret: bool = False):
-    """One kernel launch covering merge rounds [r0, r0 + m), r0 = ctl[2, 0]."""
-    Mp = -(-(m + 1) // 8) * 8
-    out, ids_out, seg_out = pl.pallas_call(
-        functools.partial(_kernel, R=R, V=V, M=m),
-        out_shape=[
-            jax.ShapeDtypeStruct((Mp, C), jnp.int32),
-            jax.ShapeDtypeStruct((R, C), jnp.int32),
-            jax.ShapeDtypeStruct((R, C), jnp.int32),
-        ],
+@functools.partial(jax.jit, static_argnames=("R", "V", "Mp", "interpret"))
+def _run_single(ids2, seg2, live2, ctl, R: int, V: int, Mp: int,
+                interpret: bool = False):
+    """One kernel launch covering the whole training run; the host fetches
+    only the (Mp+8, 4) merge-log slice (pa, pb, count, kept) — ~4 KB at
+    M=256 instead of the full 128-lane plane."""
+    out = pl.pallas_call(
+        functools.partial(_kernel, R=R, V=V, Mp=Mp),
+        out_shape=jax.ShapeDtypeStruct((Mp + 8, C), jnp.int32),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3
         + [pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((R, C), jnp.int32),  # ids
             pltpu.VMEM((R, C), jnp.int32),  # seg
@@ -665,21 +815,13 @@ def _run_segment(ids2, seg2, live2, ctl, R: int, V: int, m: int,
             pltpu.SemaphoreType.DMA((3,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            # v5e has 128 MB of VMEM; the default 100 MB scoped limit leaves
-            # margin we don't need (the working set is exactly 5 R*C planes
-            # + in-register scan tiles + the count-matmul transients).
+            # v5e has 128 MB of VMEM; the working set is 5 R*C planes +
+            # in-register scan tiles + the count-matmul transients.
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
     )(ids2, seg2, live2, ctl)
-    return out, ids_out, seg_out
-
-
-# merge rounds per kernel launch in the staged path. The stream is
-# front-compacted between segments (count cost scales with the live prefix,
-# which shrinks monotonically: each merge round kills `count` tokens), and
-# every segment shares ONE compiled kernel (r0/m_eff are dynamic, see _plan_vs).
-SEG_ROUNDS = 128
+    return out[:, :4]
 
 
 def _rows_for(n: int) -> int:
@@ -687,16 +829,20 @@ def _rows_for(n: int) -> int:
     return -(-R // TILE_ROWS) * TILE_ROWS
 
 
-def train_merges_fused(ids, seg, n, num_merges: int, interpret: bool = False):
-    """Whole-training-on-chip driver. Same contract as
-    ops.train.train_merges: (pairs[M,2], counts[M], fail_round).
+def _vocab_width(num_merges: int) -> int:
+    return max(384, -(-(256 + num_merges) // 128) * 128)
 
-    Training runs as ceil(M / 128) kernel launches. Between launches the only
-    host work is reading the segment's merge log (needed anyway for the final
-    result) to size the compacted stream; the stream itself never leaves the
-    device. Single-segment calls (M <= 128) behave exactly like the original
-    one-launch design.
-    """
+
+def _mp_bucket(num_merges: int) -> int:
+    """Merge-log row bucket: power of two >= M (>= 128), so the compiled
+    kernel count never scales with the exact merge count (m_eff is
+    dynamic)."""
+    return max(128, 1 << (max(num_merges, 1) - 1).bit_length())
+
+
+def train_merges_fused(ids, seg, n, num_merges: int, interpret: bool = False):
+    """Whole-training-in-one-launch driver. Same contract as
+    ops.train.train_merges: (pairs[M,2], counts[M], fail_round)."""
     N = ids.shape[0]
     R = _rows_for(N)
     ids2, seg2, live2 = _prep_planes(jnp.asarray(ids), jnp.asarray(seg),
@@ -708,65 +854,21 @@ def train_merges_fused(ids, seg, n, num_merges: int, interpret: bool = False):
 def train_merges_fused_bytes(data, ends, n, num_merges: int,
                              interpret: bool = False):
     """Same contract as train_merges_fused, fed by raw corpus bytes + chunk
-    end offsets (both already on device or cheap to ship): the working planes
-    are built on device, cutting wire traffic ~4x on tunneled backends."""
+    boundaries (both already on device or cheap to ship): the working planes
+    are built on device, cutting wire traffic ~4x on tunneled backends.
+    ``ends``: int32 end offsets, or uint16 chunk lengths (half the wire)."""
+    import numpy as np
+
     R = _rows_for(data.shape[0])
-    ids2, seg2, live2 = _prep_from_bytes(jnp.asarray(data), jnp.asarray(ends),
-                                         jnp.asarray(n), R)
+    ends = jnp.asarray(ends)
+    if ends.dtype == jnp.uint16:
+        ids2, seg2, live2 = _prep_from_bytes_u16(
+            jnp.asarray(data), ends, jnp.asarray(n), R)
+    else:
+        ids2, seg2, live2 = _prep_from_bytes(
+            jnp.asarray(data), ends, jnp.asarray(n), R)
     return _train_from_planes(ids2, seg2, live2, int(n), num_merges,
                               interpret)
-
-
-@functools.partial(jax.jit, static_argnames=("M_total", "vs", "interpret"))
-def _train_staged(ids2, seg2, live2, n, M_total: int, vs: tuple,
-                  interpret: bool = False):
-    """All merge segments in ONE dispatch: segments chain on device through
-    a tiny ctl plane (global fail round + live count + r0 + m_eff), the
-    stream is front-compacted between segments at constant R, and dead tail
-    tiles are skipped dynamically inside the kernel. The host syncs exactly
-    once, on the final merge log — on tunneled backends each host<->device
-    round trip costs ~20-25 ms, which used to dominate the whole run.
-
-    vs[k] is segment k's count-matrix width (pair counting is the dominant
-    round cost and scales with V — see scripts/profile_phases.py — so early
-    segments count at the narrowest V covering their new ids). Compiled
-    kernel count = number of DISTINCT widths in vs (r0/m_eff are dynamic),
-    typically 2 for a 512-vocab run, never per-segment."""
-    R = ids2.shape[0]
-    fail = jnp.int32(M_total)
-    n_live = jnp.asarray(n, jnp.int32)
-    outs = []
-    for k, V in enumerate(vs):
-        m_k = min(SEG_ROUNDS, M_total - k * SEG_ROUNDS)
-        ctl = (jnp.zeros((8, C), jnp.int32)
-               .at[0, 0].set(fail).at[1, 0].set(n_live)
-               .at[2, 0].set(k * SEG_ROUNDS).at[3, 0].set(m_k))
-        out, ids_next, seg_next = _run_segment(ids2, seg2, live2, ctl,
-                                               R, V, SEG_ROUNDS, interpret)
-        outs.append(out[:m_k])
-        fail = out[SEG_ROUNDS, 0]
-        if k + 1 < len(vs):
-            # tokens consumed this segment = one per merge occurrence
-            # (column 2 of the merge log)
-            n_live = n_live - jnp.sum(out[:m_k, 2])
-            ids2, seg2, live2 = _compact_planes(ids_next, seg_next, R)
-        else:
-            # fail row rides along: one readback
-            outs.append(out[SEG_ROUNDS:SEG_ROUNDS + 1])
-    return jnp.concatenate(outs, axis=0)
-
-
-def _plan_vs(num_merges: int) -> tuple[int, ...]:
-    """Per-segment count-matrix widths: the smallest lane-aligned V covering
-    each segment's highest new id (ids reach 256 + r0 + m_eff by segment
-    end). No power-of-two bucketing — each 128-step in V costs a Mosaic
-    compile only once per (R, V), and counting cost is linear in V."""
-    segs = -(-num_merges // SEG_ROUNDS)
-    return tuple(
-        max(384,
-            -(-(256 + min((k + 1) * SEG_ROUNDS, num_merges)) // 128) * 128)
-        for k in range(segs)
-    )
 
 
 def _train_from_planes(ids2, seg2, live2, n: int, num_merges: int,
@@ -776,8 +878,13 @@ def _train_from_planes(ids2, seg2, live2, n: int, num_merges: int,
     M = num_merges
     if M == 0:
         return (np.zeros((0, 2), np.int32), np.zeros((0,), np.int32), 0)
-
-    out = _train_staged(ids2, seg2, live2, n, M, _plan_vs(M), interpret)
+    R = ids2.shape[0]
+    V = _vocab_width(M)
+    Mp = _mp_bucket(M)
+    ctl = (jnp.zeros((8, C), jnp.int32)
+           .at[0, 0].set(M).at[1, 0].set(n).at[3, 0].set(M)
+           .at[4, 0].set(COMPACT_EVERY))
+    out = _run_single(ids2, seg2, live2, ctl, R, V, Mp, interpret)
     out_h = np.asarray(out)  # the one sync point of the whole training run
     return (out_h[:M, 0:2].copy(), out_h[:M, 2].copy(),
             min(int(out_h[M, 0]), M))

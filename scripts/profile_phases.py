@@ -56,25 +56,17 @@ def variant(text: str, seed: int) -> str:
 
 
 def make_run(R: int, V: int, phases: str):
-    kernel = functools.partial(ft._kernel, R=R, V=V, M=M, phases=phases)
-    Mp = -(-(M + 1) // 8) * 8
+    Mp = ft._mp_bucket(M)
+    kernel = functools.partial(ft._kernel, R=R, V=V, Mp=Mp, phases=phases)
 
     @jax.jit
     def run(ids2, seg2, live2, ctl):
-        out, _, _ = pl.pallas_call(
+        out = pl.pallas_call(
             kernel,
-            out_shape=[
-                jax.ShapeDtypeStruct((Mp, ft.C), jnp.int32),
-                jax.ShapeDtypeStruct((R, ft.C), jnp.int32),
-                jax.ShapeDtypeStruct((R, ft.C), jnp.int32),
-            ],
+            out_shape=jax.ShapeDtypeStruct((Mp + 8, ft.C), jnp.int32),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3
             + [pl.BlockSpec(memory_space=pltpu.VMEM)],
-            out_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             scratch_shapes=[pltpu.VMEM((R, ft.C), jnp.int32)] * 5
             + [pltpu.SemaphoreType.DMA((3,))],
             compiler_params=pltpu.CompilerParams(

@@ -20,23 +20,23 @@ def test_modes_identical(mode):
     assert other.merges == base.merges
 
 
-def test_large_vocab_routes_to_sparse(monkeypatch):
+def test_large_vocab_routes_to_sortloop(monkeypatch):
     import minbpe_tpu.engine as engine
     import minbpe_tpu.ops.train as train_mod
-    import minbpe_tpu.ops.train_sparse as sparse_mod
+    import minbpe_tpu.ops.train_sortloop as sl_mod
 
     calls = {}
-    orig = sparse_mod.train_merges_sparse_stepped
+    orig = sl_mod.train_merges_sortloop_stepped
 
     def spy(*args, **kw):
-        calls["sparse"] = True
+        calls["sortloop"] = True
         return orig(*args, **kw)
 
     monkeypatch.setattr(train_mod, "DENSE_SELECT_MAX", 256 + 8)
-    monkeypatch.setattr(sparse_mod, "train_merges_sparse_stepped", spy)
+    monkeypatch.setattr(sl_mod, "train_merges_sortloop_stepped", spy)
     tok = RegexTokenizer()
-    tok.train(TEXT, 256 + 16)  # above the (patched) dense max -> sparse
-    assert calls.get("sparse")
+    tok.train(TEXT, 256 + 16)  # above the (patched) dense max -> sortloop
+    assert calls.get("sortloop")
 
     ref = RegexTokenizer()
     ref.train(TEXT, 256 + 16, select_mode="stepped")

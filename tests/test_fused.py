@@ -75,11 +75,11 @@ def test_multi_segment_exhaustion():
     _cmp([[7] * 150], 256)
 
 
-def test_tiled_trainer_branch_matches_plane(monkeypatch):
-    """Force the tile-sequential trainer branch (normally R > TILED_MIN_R,
-    i.e. streams > 0.5M tokens) on a 2-tile stream: multi-tile scan carries
-    in tiled_adjacency/tiled_apply must reproduce the whole-plane scans
-    bit-exactly (mirrors the encoder's forced-tiled test)."""
+def test_multitile_compaction_crossing():
+    """Multi-tile stream trained past several COMPACT_EVERY boundaries: the
+    in-kernel front compaction (pack + serial row stitch + pad fill) must
+    preserve results bit-exactly, including first-occurrence tie-break
+    order across the repack."""
     import jax.numpy as jnp
 
     import minbpe_tpu.ops.pallas.fused_train as ft
@@ -90,20 +90,40 @@ def test_tiled_trainer_branch_matches_plane(monkeypatch):
     chunks = [text[a:b] for a, b in zip([0] + ends, ends) if b > a]
     ids, seg, n = st.pack_chunks(chunks)
     args = (jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(n))
-    p1, c1, f1 = train_merges(*args, 24, select_mode="sort")
-
-    assert ft._rows_for(ids.shape[0]) >= 2 * ft.SCAN_TILE_ROWS  # >= 2 tiles
-    monkeypatch.setattr(ft, "TILED_MIN_R", 0)
-    ft._run_segment.clear_cache()
-    ft._train_staged.clear_cache()
-    try:
-        p2, c2, f2 = train_merges_fused(*args, 24, interpret=True)
-    finally:
-        ft._run_segment.clear_cache()
-        ft._train_staged.clear_cache()
+    M = 3 * ft.COMPACT_EVERY + 5  # crosses >= 3 compaction points
+    p1, c1, f1 = train_merges(*args, M, select_mode="sort")
+    p2, c2, f2 = train_merges_fused(*args, M, interpret=True)
     assert int(f1) == int(f2)
     assert (np.asarray(p1) == np.asarray(p2)).all()
     assert (np.asarray(c1) == np.asarray(c2)).all()
+    assert ft._rows_for(ids.shape[0]) >= 2 * ft.SCAN_TILE_ROWS  # >= 2 tiles
+
+
+def test_overlap_runs_live_tracking():
+    """(a, a)-heavy corpus where occurrence counts EXCEED kept sites: the
+    kernel's live-token tracking must subtract kept sites (merge-log column
+    3), not occurrence counts — an occurrence-based tracker under-counts
+    live tokens and mis-skips tiles after compaction."""
+    import jax.numpy as jnp
+
+    import minbpe_tpu.ops.pallas.fused_train as ft
+
+    rng = random.Random(5)
+    # long same-byte runs -> many overlapping occurrences every round
+    parts = []
+    for _ in range(4000):
+        parts.append(bytes([rng.randint(0, 3)]) * rng.randint(1, 9))
+    blob = b"".join(parts)
+    ends = list(range(500, len(blob), 997)) + [len(blob)]
+    chunks = [blob[a:b] for a, b in zip([0] + ends, ends) if b > a]
+    ids, seg, n = st.pack_chunks(chunks)
+    args = (jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(n))
+    M = 2 * ft.COMPACT_EVERY + 3
+    p1, c1, f1 = train_merges(*args, M, select_mode="sort")
+    p2, c2, f2 = train_merges_fused(*args, M, interpret=True)
+    assert int(f1) == int(f2)
+    assert (np.asarray(p1)[:int(f1)] == np.asarray(p2)[:int(f1)]).all()
+    assert (np.asarray(c1)[:int(f1)] == np.asarray(c2)[:int(f1)]).all()
 
 
 def test_from_bytes_parity():
