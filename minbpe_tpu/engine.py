@@ -93,16 +93,23 @@ def run_train(ids, seg, n, num_merges: int, verbose: bool = False,
             N = int(raw[2])
         else:
             N = ids.shape[0] if hasattr(ids, "shape") else len(ids)
+        from .ops.pallas.fused_train_xl import XL_MAX_N
+
+        plain = (checkpoint_path is None and resume_from is None
+                 and progress is None)
         can_fuse = (
             jax.default_backend() == "tpu"
-            and V <= FUSED_MAX_V and N <= FUSED_MAX_N
-            and checkpoint_path is None and resume_from is None
-            and progress is None
+            and V <= FUSED_MAX_V and N <= FUSED_MAX_N and plain
         )
         if can_fuse:
             # whole training loop in one Pallas kernel: state in VMEM,
             # zero per-round dispatch
             select_mode = "fused"
+        elif (jax.default_backend() == "tpu" and V <= FUSED_MAX_V
+              and N <= XL_MAX_N and plain and raw is not None):
+            # beyond the VMEM ceiling: segmented fused trainer (HBM
+            # segments swept by pallas grid with cross-segment carries)
+            select_mode = "fused_xl"
         elif V <= DENSE_SELECT_MAX and N <= FUSED_MAX_N:
             # incremental-count stepping: no sort, no recount
             select_mode = "stepped"
@@ -143,6 +150,21 @@ def run_train(ids, seg, n, num_merges: int, verbose: bool = False,
                 print(f"minbpe_tpu: fused trainer unavailable ({e!r:.200}); "
                       "falling back to stepped", file=sys.stderr)
                 select_mode = "stepped"
+        if select_mode == "fused_xl":
+            from .ops.pallas.fused_train_xl import train_merges_fused_xl
+
+            try:
+                pairs, counts, fail_round = train_merges_fused_xl(
+                    raw[0], raw[1], int(raw[2]), num_merges
+                )
+                select_mode = "done"
+            except Exception as e:  # kernel issue: fall back to sort loop
+                import sys
+
+                print(f"minbpe_tpu: segmented fused trainer unavailable "
+                      f"({e!r:.200}); falling back to sortloop",
+                      file=sys.stderr)
+                select_mode = "sortloop"
         if select_mode != "done" and ids is None:
             ids, seg, n = packer()
         if select_mode == "done":
@@ -412,14 +434,18 @@ def _train_capacity(n: int, num_merges: int, opts) -> int | None:
     from .ops.pallas.fused_train import (
         FUSED_MAX_N, FUSED_MAX_V, fused_capacity,
     )
+    from .ops.pallas.fused_train_xl import SEG_TOKENS, XL_MAX_N
 
-    if (opts.get("select_mode", "auto") in ("auto", "fused")
-            and jax.default_backend() == "tpu"
-            and 256 + num_merges <= FUSED_MAX_V and n <= FUSED_MAX_N
-            and opts.get("checkpoint_path") is None
-            and opts.get("resume_from") is None
-            and opts.get("progress") is None):
+    plain = (opts.get("select_mode", "auto") in ("auto", "fused", "fused_xl")
+             and jax.default_backend() == "tpu"
+             and 256 + num_merges <= FUSED_MAX_V
+             and opts.get("checkpoint_path") is None
+             and opts.get("resume_from") is None
+             and opts.get("progress") is None)
+    if plain and n <= FUSED_MAX_N:
         return fused_capacity(n)
+    if plain and n <= XL_MAX_N:
+        return -(-n // SEG_TOKENS) * SEG_TOKENS  # segment-aligned
     return None
 
 

@@ -248,13 +248,17 @@ def _tile_pick(v, tflat, p, fill):
     return jnp.max(jnp.where(tflat == p, v, fill))
 
 
-def tiled_adjacency(ids_ref, seg_ref, live_ref, a_ref, b_ref, T, t_cur=None):
+def tiled_adjacency(ids_ref, seg_ref, live_ref, a_ref, b_ref, T, t_cur=None,
+                    carry_in=None):
     """Reverse pass: a/b = (id, next-live id) masked to countable pairs
     (same segment, both live) — the array form of adjacent-pair counting
     over chunk lists (minbpe/regex.py:52-54).
 
     t_cur (optional, traced): only tiles [0, t_cur) hold live data — tiles
-    beyond the front-compacted prefix are skipped entirely."""
+    beyond the front-compacted prefix are skipped entirely.
+    carry_in (optional): (id, seg) of the first live token AFTER this
+    stream — lets the XL driver chain the scan across HBM segments.
+    Returns the outgoing carry (first live id/seg of THIS stream)."""
     TRS = SCAN_TILE_ROWS
     tflat = _tile_flat_iota()
     n_t = T if t_cur is None else t_cur
@@ -281,20 +285,24 @@ def tiled_adjacency(ids_ref, seg_ref, live_ref, a_ref, b_ref, T, t_cur=None):
                 jnp.where(any_live, _tile_pick(seg_t, tflat, fl, -2**31),
                           cseg))
 
-    jax.lax.fori_loop(0, n_t, body, (jnp.int32(-1), jnp.int32(-2)))
+    init = carry_in if carry_in is not None else (jnp.int32(-1),
+                                                   jnp.int32(-2))
+    return jax.lax.fori_loop(0, n_t, body, init)
 
 
 def tiled_apply(ids_ref, live_ref, a_ref, b_ref, pa, pb, new_id, T,
-                t_cur=None):
+                t_cur=None, carry_in=None):
     """Forward pass: apply the merge (pa, pb) -> new_id with the reference's
     left-first overlap rule (minbpe/base.py:25-41) — keep = match whose
     chain distance from its run start is even; kill the token consumed
     by a kept match (the next live one).
 
-    Returns the number of KEPT merge sites (= tokens consumed), which is
-    strictly less than the occurrence count when pa == pb occurrences
-    overlap — the exact quantity a live-token tracker must subtract.
-    t_cur as in tiled_adjacency."""
+    Returns the full scan carry (m-at-last-live, chain total, run-start
+    chainpos, keep-at-last-live, kept total): element [4] is the number of
+    KEPT merge sites (= tokens consumed), which is strictly less than the
+    occurrence count when pa == pb occurrences overlap — the exact quantity
+    a live-token tracker must subtract. carry_in chains the pass across
+    HBM segments (XL driver); t_cur as in tiled_adjacency."""
     TRS = SCAN_TILE_ROWS
     tflat = _tile_flat_iota()
     n_t = T if t_cur is None else t_cur
@@ -326,11 +334,10 @@ def tiled_apply(ids_ref, live_ref, a_ref, b_ref, pa, pb, new_id, T,
                 jnp.where(has, _tile_pick(keep, tflat, fl, -2**31), kc),
                 ktot + jnp.sum(keep))
 
-    carry = jax.lax.fori_loop(
-        0, n_t, body,
-        (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
-         jnp.int32(0)))
-    return carry[4]
+    init = carry_in if carry_in is not None else (
+        jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+        jnp.int32(0))
+    return jax.lax.fori_loop(0, n_t, body, init)
 
 
 # Below this many rows, whole-plane value scans beat the tiled passes: the
@@ -720,7 +727,7 @@ def _kernel(ids_in, seg_in, live_in, ctl_in, out_ref,
 
         def do(_):
             kept = tiled_apply(ids_ref, live_ref, a_ref, b_ref, pa, pb,
-                               jnp.int32(256) + r0 + i, T, t_cur)
+                               jnp.int32(256) + r0 + i, T, t_cur)[4]
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
             row = jnp.where(lane == 0, pa,
                             jnp.where(lane == 1, pb,

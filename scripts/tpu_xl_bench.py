@@ -69,7 +69,7 @@ def main():
         "unit": "MB/s",
         "seconds": round(best, 1),
         "warmup_s": round(warm, 1),
-        "path": "sortloop (auto: N > fused VMEM ceiling)",
+        "path": "fused_xl (auto: N > in-VMEM ceiling)",
         "merges": len(tok.merges),
     }), flush=True)
 

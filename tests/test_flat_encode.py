@@ -95,6 +95,7 @@ def test_flat_matches_oracle(text):
     assert int(lens.sum()) == len(want)
 
 
+@pytest.mark.slow
 def test_flat_matches_chunk_encoder_corpus():
     text = open("/root/reference/tests/taylorswift.txt",
                 encoding="utf-8").read()[:30000]

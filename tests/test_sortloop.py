@@ -65,6 +65,7 @@ def test_sortloop_stepped_identical_and_fail_round():
     assert int(f1) == int(f2) < M
 
 
+@pytest.mark.slow
 def test_sortloop_corpus_vs_sparse_largevocab():
     text = open("/root/reference/tests/taylorswift.txt", "rb").read()[:20000]
     # single segment (basic-tokenizer shape)
@@ -91,6 +92,7 @@ def test_sortloop_checkpoint_resume(tmp_path):
     assert int(f1) == int(f2) == M
 
 
+@pytest.mark.slow
 def test_engine_routes_largevocab_to_sortloop():
     from minbpe_tpu import RegexTokenizer
 
