@@ -131,6 +131,18 @@ def main():
     assert btok.decode(btok.encode(sample)) == sample
     log(f"merges learned: {len(rtok.merges)}; round-trips ok")
 
+    # -- batched multi-document serving (no reference counterpart) ------------
+    n_docs, L = 64, len(text) // 48
+
+    def docs_for(t):
+        return [t[i * L:(i + 1) * L] for i in range(n_docs)]
+
+    rtok.encode_batch(docs_for(variant(text, 7)))  # warm
+    t_batch, out_b = timed("encode_batch x64", rtok.encode_batch,
+                           [docs_for(t) for t in texts])
+    assert out_b[3] == rtok.encode(docs_for(text)[3])
+    docs_per_s = round(n_docs / t_batch, 1)
+
     def row(name, secs):
         v = MB / secs
         return {"metric": f"{name}_MBps_vocab512_taylorswift",
@@ -141,7 +153,10 @@ def main():
     head["extra"] = [row("basic_train", t_basic_train),
                      row("regex_encode", t_regex_enc),
                      row("basic_encode", t_basic_enc),
-                     row("decode", t_dec)]
+                     row("decode", t_dec),
+                     {"metric": "encode_batch_docs_per_s_vocab512",
+                      "value": docs_per_s, "unit": "docs/s",
+                      "n_docs": n_docs, "doc_bytes": L}]
     head["warmup_s"] = round(warmup_s, 2)
     print(json.dumps(head))
 
