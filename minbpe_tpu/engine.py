@@ -16,7 +16,6 @@ from .ops.encode import (
     build_rank_table, encode_stream_sorted, encode_stream_stepped,
 )
 from .ops.ranktab import SortedPairTable
-from .ops import chunk_encode
 
 # Above this vocab size the dense [V, V] rank table gives way to the sorted
 # pair table + bucketed chunk encoder (cl100k is ~100K: dense would be 40 GB).

@@ -11,8 +11,8 @@ Differences in mechanism (not behavior):
   (the reference requires a network fetch at construction, minbpe/gpt4.py:63);
 - the recovered merge forest is cached on disk (recovery is a one-time
   ~100K-token BPE replay);
-- encode runs on device through the bucketed chunk encoder + sorted pair
-  table (ops/chunk_encode.py, ops/ranktab.py) — a dense table at this vocab
+- encode runs on device through the flat-stream encoder + cuckoo hash
+  table (ops/flat_encode.py, ops/ranktab.py) — a dense table at this vocab
   would be 40 GB.
 """
 

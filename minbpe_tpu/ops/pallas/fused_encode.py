@@ -19,7 +19,7 @@ result ships back as ONE tombstoned id plane (dead positions = -1; the live
 ids in flat order ARE the output order, so the host just drops the -1s).
 
 Right-sized for trained tokenizers (M <= ~2K ranks); cl100k-scale encode
-uses the bucketed chunk encoder (ops/chunk_encode.py).
+uses the flat-stream encoder (ops/flat_encode.py).
 """
 
 from __future__ import annotations

@@ -3,7 +3,7 @@ saves the models (the reference's train.py:11-27 workflow, with a CLI).
 
     python train.py [--corpus PATH] [--vocab-size 512] [--outdir models_out]
                     [--tokenizers basic,regex] [--pattern gpt4|gpt2]
-                    [--select-mode auto|fused|stepped|sparse|sort|dense]
+                    [--select-mode auto|fused|fused_xl|sortloop|stepped|sparse|sort|dense]
                     [--checkpoint-every N] [--resume] [--profile-dir DIR]
 """
 
@@ -48,11 +48,11 @@ def main():
         opts = {"select_mode": args.select_mode}
         ck = os.path.join(args.outdir, f"{name}.ckpt.npz")
         # checkpoints need a host-stepped loop; dense counting caps at
-        # DENSE_SELECT_MAX vocab, above that the sparse slot table takes over
+        # DENSE_SELECT_MAX vocab, above that the sort-round loop takes over
         from minbpe_tpu.ops.train import DENSE_SELECT_MAX
 
         ck_mode = "stepped" if args.vocab_size <= DENSE_SELECT_MAX \
-            else "sparse"
+            else "sortloop"
         if args.checkpoint_every:
             opts.update(checkpoint_path=ck,
                         checkpoint_every=args.checkpoint_every,
