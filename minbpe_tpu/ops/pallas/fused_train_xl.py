@@ -68,7 +68,7 @@ def _t_cur_of(bound):
     return (bound + TILE_ELEMS - 1) // TILE_ELEMS
 
 
-def _adjcount_kernel(ids_in, seg_in, live_in, bounds_in,
+def _adjcount_kernel(ids_in, seg_in, live_in, bounds_in, nvb_in,
                      a_out, b_out, sel_out, counts_out,
                      ids_ref, seg_ref, live_ref, a_ref, b_ref,
                      cnt_ref, carry_ref, sems,
@@ -102,32 +102,46 @@ def _adjcount_kernel(ids_in, seg_in, live_in, bounds_in,
     _lane_put(carry_ref, 0, cid)
     _lane_put(carry_ref, 1, cseg)
 
-    # one-hot MXU counting into the persistent accumulator
+    # one-hot MXU counting into the persistent accumulator, at the current
+    # vocab width: rounds below 384 ids count 384 wide (same two-variant
+    # switch as the in-VMEM kernel)
     GROUP = 32
-    GC = GROUP * TILE_ROWS
-    viota = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, V), 1)
 
-    def oh(t, g0):
-        return jnp.concatenate(
-            [(t[:, j:j + 1] == viota).astype(jnp.int8)
-             for j in range(g0, g0 + GROUP)], axis=0)
+    def count_width(W):
+        viota = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, W), 1)
 
-    def tile_body(t, acc):
-        def work(acc):
-            at = a_ref[pl.ds(t * TILE_ROWS, TILE_ROWS), :]
-            bt = b_ref[pl.ds(t * TILE_ROWS, TILE_ROWS), :]
-            for g in range(C // GROUP):
-                A = oh(at, g * GROUP)
-                B = oh(bt, g * GROUP)
-                acc = acc + jax.lax.dot_general(
-                    A, B, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32)
+        def oh(t, g0):
+            return jnp.concatenate(
+                [(t[:, j:j + 1] == viota).astype(jnp.int8)
+                 for j in range(g0, g0 + GROUP)], axis=0)
+
+        def tile_body(t, acc):
+            def work(acc):
+                at = a_ref[pl.ds(t * TILE_ROWS, TILE_ROWS), :]
+                bt = b_ref[pl.ds(t * TILE_ROWS, TILE_ROWS), :]
+                for g in range(C // GROUP):
+                    A = oh(at, g * GROUP)
+                    B = oh(bt, g * GROUP)
+                    acc = acc + jax.lax.dot_general(
+                        A, B, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                return acc
+
+            return jax.lax.cond(t * TILE_ELEMS < bound, work,
+                                lambda a: a, acc)
+
+        acc = jax.lax.fori_loop(0, t_cur, tile_body,
+                                jnp.zeros((W, W), jnp.int32))
+        if W == V:
             return acc
+        return jnp.pad(acc, ((0, V - W), (0, V - W)))
 
-        return jax.lax.cond(t * TILE_ELEMS < bound, work, lambda a: a, acc)
-
-    acc = jax.lax.fori_loop(0, t_cur, tile_body,
-                            jnp.zeros((V, V), jnp.int32))
+    if V > 384:
+        acc = jax.lax.cond(nvb_in[0, 0] * 128 <= 384,
+                           lambda _: count_width(384),
+                           lambda _: count_width(V), 0)
+    else:
+        acc = count_width(V)
     cnt_ref[...] += acc
 
     for src, dst, j in ((a_ref, a_out, 0), (b_ref, b_out, 1)):
@@ -339,7 +353,7 @@ def _train_xl(ids2, seg2, live2, bounds0, segl0, ctl, S: int, Rs: int,
             jax.ShapeDtypeStruct((V, V), jnp.int32),   # counts
         ],
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)],
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2
         + [pl.BlockSpec(memory_space=pltpu.VMEM),
            pl.BlockSpec(memory_space=pl.ANY)],
@@ -410,7 +424,9 @@ def _train_xl(ids2, seg2, live2, bounds0, segl0, ctl, S: int, Rs: int,
         ids, seg, live, bounds = jax.lax.cond(
             do_c, do_compact, lambda a: a, (ids, seg, live, bounds))
 
-        a, b, sel, counts = adjcount(ids, seg, live, bounds)
+        nvb = jnp.minimum((256 + i + 127) // 128, V // 128)
+        nvb_row = jnp.zeros((1, C), jnp.int32) + nvb
+        a, b, sel, counts = adjcount(ids, seg, live, bounds, nvb_row)
         maxc = sel[0, 0]
         n_tied = sel[0, 1]
 

@@ -70,9 +70,10 @@ def test_multi_segment_random_ties():
 
 
 def test_multi_segment_exhaustion():
-    """Merges run dry mid-plan; later segments must skip and the fail round
-    must come back exact."""
-    _cmp([[7] * 150], 256)
+    """Merges run dry mid-plan; the remaining rounds must skip (including
+    their tie machinery: at maxc == 0 EVERYTHING ties) and the fail round
+    must come back exact across a compaction boundary."""
+    _cmp([[7] * 150], 40)
 
 
 def test_multitile_compaction_crossing():
