@@ -41,7 +41,7 @@ import jax.numpy as jnp
 
 from . import scan2d
 from .scan2d import C, INT32_MAX
-from .ranktab import CuckooPairTable, RANK_INF
+from .ranktab import CuckooPairTable, RANK_INF, cuckoo_lookup
 
 COMPACT_K = 4096
 
@@ -55,21 +55,7 @@ def encode_capacity(n: int) -> int:
 
 
 def _lookup_full(table_args, a, b):
-    t1, t2, s1, s2, mask = table_args
-    from .ranktab import mix_jnp
-
-    h1 = mix_jnp(a, b, s1, s2, mask)
-    h2 = mix_jnp(b, a, s2, s1, mask)
-    r1 = t1[h1]
-    r2 = t2[h2]
-    ok = b >= 0
-    hit1 = ok & (r1[..., 0] == a) & (r1[..., 1] == b)
-    hit2 = ok & (r2[..., 0] == a) & (r2[..., 1] == b)
-    rank = jnp.where(hit1, r1[..., 2],
-                     jnp.where(hit2, r2[..., 2], jnp.int32(RANK_INF)))
-    nid = jnp.where(hit1, r1[..., 3],
-                    jnp.where(hit2, r2[..., 3], jnp.int32(-1)))
-    return rank, nid
+    return cuckoo_lookup(*table_args, a, b)
 
 
 @partial(jax.jit, static_argnames=("R",))

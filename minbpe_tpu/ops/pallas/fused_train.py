@@ -345,33 +345,10 @@ def tiled_apply(ids_ref, live_ref, a_ref, b_ref, pa, pb, new_id, T,
 # carries, and at small R the Mosaic allocator's transient live ranges fit
 # VMEM comfortably. (Measured on v5e: ~35% less per-round scan time at
 # R ~ 1.5K; the crossover concern is purely VMEM growth, which is O(R log).)
+# Used by the fused ENCODER's plane-scan rounds (fused_encode.round_plane);
+# the trainer is tiled-only since the single-launch rework (tail-tile
+# skipping over the compacted prefix needs tile granularity).
 TILED_MIN_R = 4096
-
-
-def plane_adjacency(ids_ref, seg_ref, live_ref, a_ref, b_ref):
-    """Whole-plane value-scan form of tiled_adjacency (small-R fast path)."""
-    ids = ids_ref[:]
-    seg = seg_ref[:]
-    live = live_ref[:]
-    _, nli, nls = _select_scan_rev_exclusive(live, (ids, seg), (-1, -2))
-    valid = (live == 1) & (nli >= 0) & (seg == nls)
-    a_ref[:] = jnp.where(valid, ids, -1)
-    b_ref[:] = jnp.where(valid, nli, -1)
-
-
-def plane_apply(ids_ref, live_ref, a_ref, b_ref, pa, pb, new_id):
-    """Whole-plane value-scan form of tiled_apply (small-R fast path)."""
-    ids = ids_ref[:]
-    live = live_ref[:]
-    m = ((a_ref[:] == pa) & (b_ref[:] == pb)).astype(jnp.int32)
-    _, m_prv = _select_scan_fwd_exclusive(live, m, 0)
-    new_run = m * (1 - m_prv)
-    chainpos = _cumsum_flat(live)
-    _, cps = _select_scan_fwd(new_run, chainpos, 0)
-    keep = (m == 1) & (((chainpos - cps) & 1) == 0)
-    _, k_prv = _select_scan_fwd_exclusive(live, keep.astype(jnp.int32), 0)
-    ids_ref[:] = jnp.where(keep, new_id, ids)
-    live_ref[:] = jnp.where(k_prv == 1, 0, live)
 
 
 def tiled_mask_dead(ids_ref, live_ref, T):
@@ -550,8 +527,6 @@ def _kernel(ids_in, seg_in, live_in, ctl_in, out_ref,
         ]
         return jnp.concatenate(blocks, axis=0)
 
-    GC = GROUP * TILE_ROWS
-    n_tiles = R // TILE_ROWS
 
     def count_width(bound, W):
         """One-hot MXU counting at STATIC width W (a multiple of 128):

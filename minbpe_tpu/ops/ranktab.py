@@ -94,6 +94,24 @@ def mix_jnp(a, b, s1, s2, mask):
     return (u & mask).astype(jnp.int32)
 
 
+def cuckoo_lookup(t1, t2, s1, s2, mask, a, b):
+    """Vectorized 2-probe lookup shared by CuckooPairTable.lookup and the
+    flat encoder's jitted programs: (a, b) -> (rank, new_id), with
+    (RANK_INF, -1) where absent. b < 0 never matches (PAD/invalid)."""
+    h1 = mix_jnp(a, b, s1, s2, mask)
+    h2 = mix_jnp(b, a, s2, s1, mask)
+    r1 = t1[h1]
+    r2 = t2[h2]
+    ok = b >= 0
+    hit1 = ok & (r1[..., 0] == a) & (r1[..., 1] == b)
+    hit2 = ok & (r2[..., 0] == a) & (r2[..., 1] == b)
+    rank = jnp.where(hit1, r1[..., 2],
+                     jnp.where(hit2, r2[..., 2], jnp.int32(RANK_INF)))
+    nid = jnp.where(hit1, r1[..., 3],
+                    jnp.where(hit2, r2[..., 3], jnp.int32(-1)))
+    return rank, nid
+
+
 class CuckooPairTable:
     """Two-table cuckoo hash of (pair -> rank, new_id); exactly two probes.
 
@@ -156,19 +174,6 @@ class CuckooPairTable:
         return t1, t2
 
     def lookup(self, a, b):
-        """Vectorized (a, b) -> (rank, new_id); (RANK_INF, -1) where absent.
-        a/b int32 arrays of any shape; negative a/b never match (slots
-        holding real keys are >= 0, empties are -1 vs a == -1 is guarded by
-        requiring b >= 0)."""
-        h1 = mix_jnp(a, b, self.s1, self.s2, self.mask)
-        h2 = mix_jnp(b, a, self.s2, self.s1, self.mask)
-        r1 = self.t1[h1]
-        r2 = self.t2[h2]
-        ok = b >= 0
-        hit1 = ok & (r1[..., 0] == a) & (r1[..., 1] == b)
-        hit2 = ok & (r2[..., 0] == a) & (r2[..., 1] == b)
-        rank = jnp.where(hit1, r1[..., 2],
-                         jnp.where(hit2, r2[..., 2], jnp.int32(RANK_INF)))
-        nid = jnp.where(hit1, r1[..., 3],
-                        jnp.where(hit2, r2[..., 3], jnp.int32(-1)))
-        return rank, nid
+        """Vectorized (a, b) -> (rank, new_id); see cuckoo_lookup."""
+        return cuckoo_lookup(self.t1, self.t2, self.s1, self.s2, self.mask,
+                             a, b)

@@ -4,7 +4,6 @@ vocab, with checkpoints/resume (reference loop: minbpe/regex.py:49-66)."""
 
 import numpy as np
 import pytest
-import jax.numpy as jnp
 
 import oracle
 from minbpe_tpu.ops.stream import pack_offsets
