@@ -36,6 +36,49 @@ def render_token(t: bytes) -> str:
     return escape_control_characters(t.decode("utf-8", errors="replace"))
 
 
+class DecodeTable:
+    """Vectorized id -> bytes concatenation for decode.
+
+    The reference decodes with a per-id dict lookup + join
+    (minbpe/basic.py:51-55); at MB scale that Python loop is the decode
+    floor. This flattens the vocab once into a single uint8 table plus
+    starts/lengths arrays, so decoding any id sequence is one numpy gather:
+    out[k] = table[starts[ids] broadcast + offsets], built via the standard
+    repeat/cumsum expansion. Unknown ids are reported (not raised) so callers
+    keep their exact reference exception semantics (KeyError vs ValueError).
+    """
+
+    def __init__(self, mapping: dict[int, bytes]):
+        n = (max(mapping) + 1) if mapping else 0
+        self.lens = np.full(n, -1, dtype=np.int64)
+        self.starts = np.zeros(n, dtype=np.int64)
+        parts = []
+        pos = 0
+        for k in sorted(mapping):
+            b = mapping[k]
+            self.starts[k] = pos
+            self.lens[k] = len(b)
+            pos += len(b)
+            parts.append(b)
+        self.table = np.frombuffer(b"".join(parts), dtype=np.uint8)
+
+    def lookup(self, ids) -> tuple[bytes, int]:
+        """(concatenated bytes, index of first unknown id or -1)."""
+        a = np.asarray(ids, dtype=np.int64).ravel()
+        if a.size == 0:
+            return b"", -1
+        ok = (a >= 0) & (a < self.lens.size)
+        l = np.where(ok, self.lens[np.where(ok, a, 0)], -1)
+        bad = np.nonzero(l < 0)[0]
+        if bad.size:
+            return b"", int(bad[0])
+        s = self.starts[a]
+        cum = np.cumsum(l)
+        out_idx = (np.arange(int(cum[-1]), dtype=np.int64)
+                   - np.repeat(cum - l, l) + np.repeat(s, l))
+        return self.table[out_idx].tobytes(), -1
+
+
 class Tokenizer:
     """Base tokenizer: abstract train/encode/decode + save/load.
 
@@ -71,8 +114,16 @@ class Tokenizer:
         return vocab
 
     def _invalidate_device_state(self):
-        """Drop cached device-side merge tables (call after merges change)."""
+        """Drop cached device-side merge tables and the decode table (call
+        after merges or specials change)."""
         self._dev = None
+        self._dtab = None
+
+    def _decode_table(self, mapping: dict[int, bytes]) -> DecodeTable:
+        """Lazily built, invalidated by _invalidate_device_state."""
+        if self._dtab is None:
+            self._dtab = DecodeTable(mapping)
+        return self._dtab
 
     def _merge_arrays(self):
         """merges dict -> (pairs[M,2], new_ids[M]) numpy arrays in rank order.

@@ -53,6 +53,10 @@ class BasicTokenizer(Tokenizer):
 
     def decode(self, ids) -> str:
         """Concatenate vocab bytes; invalid UTF-8 becomes U+FFFD
-        (minbpe/basic.py:51-55)."""
-        data = b"".join(self.vocab[idx] for idx in ids)
+        (minbpe/basic.py:51-55). Vectorized: one numpy gather over a flat
+        byte table instead of a per-id dict loop; unknown ids raise KeyError
+        like the reference's vocab[idx]."""
+        data, bad = self._decode_table(self.vocab).lookup(ids)
+        if bad >= 0:
+            raise KeyError(ids[bad])
         return data.decode("utf-8", errors="replace")

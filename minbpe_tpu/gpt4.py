@@ -64,13 +64,10 @@ def _find_rank_file() -> str | None:
 
 
 def cl100k_ranks_available() -> bool:
-    return _find_rank_file() is not None or _network_tiktoken_cached()
-
-
-def _network_tiktoken_cached() -> bool:
-    # only True if tiktoken can produce the encoding without blocking on the
-    # network for long; we never probe the network here.
-    return False
+    # _candidate_rank_files already probes tiktoken's own cache directories
+    # (TIKTOKEN_CACHE_DIR / DATA_GYM_CACHE_DIR / $TMPDIR/data-gym-cache), so a
+    # primed tiktoken cache counts as available without touching the network.
+    return _find_rank_file() is not None
 
 
 def load_cl100k_ranks() -> dict[bytes, int]:
@@ -210,8 +207,12 @@ class GPT4Tokenizer(RegexTokenizer):
         return self.byte_shuffle[arr]
 
     def decode(self, ids) -> str:
-        """Un-permute bytes after vocab concatenation (minbpe/gpt4.py:87-92)."""
-        data = b"".join(self.vocab[idx] for idx in ids)
+        """Un-permute bytes after vocab concatenation (minbpe/gpt4.py:87-92).
+        Vectorized flat-table gather; unknown ids raise KeyError like the
+        reference's vocab[idx]."""
+        data, bad = self._decode_table(self.vocab).lookup(ids)
+        if bad >= 0:
+            raise KeyError(ids[bad])
         arr = np.frombuffer(data, dtype=np.uint8)
         return self.inverse_byte_shuffle[arr].tobytes().decode(
             "utf-8", errors="replace"

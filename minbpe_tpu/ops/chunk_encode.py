@@ -13,6 +13,11 @@ the MAX over rows of per-chunk distinct ranks — bounded by the bucket length,
 Pair ranks come from the sorted-table binary search (ops/ranktab.py); row
 compaction is a stable per-row sort on the dead mask. Everything is static
 shapes; buckets are powers of two to bound recompilation.
+
+Production encode routes through the flat-stream encoder (ops/flat_encode.py)
+instead; this module is kept as its independent differential oracle
+(tests/test_flat_encode.py) — two structurally different implementations of
+the same per-chunk min-rank loop cross-check each other.
 """
 
 from __future__ import annotations

@@ -16,7 +16,7 @@ from __future__ import annotations
 import regex as re
 
 from . import engine
-from .base import Tokenizer
+from .base import DecodeTable, Tokenizer
 
 # GPT split patterns, as published by tiktoken (minbpe/regex.py:18-19).
 GPT2_SPLIT_PATTERN = (
@@ -91,20 +91,25 @@ class RegexTokenizer(Tokenizer):
         """str -> int registry (minbpe/regex.py:72-76)."""
         self.special_tokens = special_tokens
         self.inverse_special_tokens = {v: k for k, v in special_tokens.items()}
+        self._dtab = None  # decode table includes specials
 
     # -- decode -------------------------------------------------------------
     def decode(self, ids) -> str:
         """vocab or special lookup per id; unknown ids raise
-        (minbpe/regex.py:78-90)."""
-        parts = []
-        for idx in ids:
-            if idx in self.vocab:
-                parts.append(self.vocab[idx])
-            elif idx in self.inverse_special_tokens:
-                parts.append(self.inverse_special_tokens[idx].encode("utf-8"))
-            else:
-                raise ValueError(f"invalid token id: {idx}")
-        return b"".join(parts).decode("utf-8", errors="replace")
+        (minbpe/regex.py:78-90). Vectorized via a flat byte table over
+        vocab ∪ specials (vocab wins on overlap, matching the reference's
+        check order)."""
+        if self._dtab is None:
+            merged = {
+                idx: s.encode("utf-8")
+                for idx, s in self.inverse_special_tokens.items()
+            }
+            merged.update(self.vocab)
+            self._dtab = DecodeTable(merged)
+        data, bad = self._dtab.lookup(ids)
+        if bad >= 0:
+            raise ValueError(f"invalid token id: {ids[bad]}")
+        return data.decode("utf-8", errors="replace")
 
     # -- encode -------------------------------------------------------------
     def encode_ordinary(self, text: str) -> list[int]:
