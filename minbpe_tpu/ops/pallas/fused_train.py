@@ -364,6 +364,255 @@ def tiled_mask_dead(ids_ref, live_ref, T):
 
 
 # ---------------------------------------------------------------------------
+# exact multi-merge batching (one count rebuild amortized over several merges)
+#
+# After one count rebuild, candidates are taken in exact reference order
+# (count desc, earliest-first-occurrence tie-break) while they are pairwise
+# token-DISJOINT and heterogeneous (pa != pb).  Applying a merge only creates
+# pairs that contain its new id z_j (every other adjacency is untouched), and
+# disjointness means an accepted candidate's count and first-occurrence order
+# are exactly what the rebuilt matrix says.  So candidate k is provably still
+# the true argmax of the stream-after-k-1-merges iff its count strictly
+# exceeds the count of every pair created by merges 0..k-1.  Those creation
+# counts are bounded EXACTLY and pre-apply: the joint site map is known (for
+# heterogeneous disjoint candidates every (a, b) match is a kept site — no
+# overlaps), so the creations of candidate j are (v, z_j) / (z_j, w) over its
+# sites' live neighbors, histogrammed into 128 partner buckets per creator.
+# Partner tokens that are part of another candidate's site are counted under
+# BOTH the merged-id and original-id hypotheses, making the bound valid for
+# every trim prefix.  Structural facts used (both follow from disjointness +
+# heterogeneity): a site's left live neighbor is never another site's start,
+# and its right-of-consumed live neighbor is never another site's consumed
+# token.  Measured on the bench corpus this accepts ~3.1 merges per rebuild
+# (scripts/scratch/probe_r5_batch3.py simulates the identical rule host-side
+# and checks bit-equality against the sequential reference loop).
+# ---------------------------------------------------------------------------
+
+K_CAP = 8  # max merges accepted per count rebuild
+
+
+def _oh128(t, g0):
+    """(32 * rows, 128) int8 one-hot of a value tile's lanes g0..g0+32;
+    negative values produce all-zero rows (masked-out positions)."""
+    w = jax.lax.broadcasted_iota(jnp.int32, (t.shape[0], 128), 1)
+    blocks = [(t[:, j:j + 1] == w).astype(jnp.int8)
+              for j in range(g0, g0 + 32)]
+    return jnp.concatenate(blocks, axis=0)
+
+
+def _oh128_or(t1, t2, g0):
+    """One-hot of value-in-{t1, t2} (compare-OR before the int8 cast —
+    Mosaic has no int8 vector add, and OR is also the tighter bound: a
+    position whose two hypotheses collide in one bucket counts once)."""
+    w = jax.lax.broadcasted_iota(jnp.int32, (t1.shape[0], 128), 1)
+    blocks = [((t1[:, j:j + 1] == w) | (t2[:, j:j + 1] == w)).astype(jnp.int8)
+              for j in range(g0, g0 + 32)]
+    return jnp.concatenate(blocks, axis=0)
+
+
+def _hist_tile(acc, rows1, rows2, cols, use2):
+    """acc[r, c] += one-hot(rows1 ∪ rows2)^T one-hot(cols); the rows2
+    hypothesis participates only when use2 (tiles without any hypothesis-2
+    position skip that build entirely)."""
+
+    def with2(acc):
+        for g in range(C // 32):
+            B = _oh128(cols, g * 32)
+            A = _oh128_or(rows1, rows2, g * 32)
+            acc = acc + jax.lax.dot_general(
+                A, B, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+        return acc
+
+    def without2(acc):
+        for g in range(C // 32):
+            B = _oh128(cols, g * 32)
+            A = _oh128(rows1, g * 32)
+            acc = acc + jax.lax.dot_general(
+                A, B, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+        return acc
+
+    return jax.lax.cond(use2, with2, without2, acc)
+
+
+def tiled_batch_mark(ids_ref, seg_ref, live_ref, a_ref, b_ref,
+                     pas, pbs, bsel, zbase, t_cur):
+    """Batch pass 1 (forward): candidate-site plane, final-id plane, and the
+    left-creation histogram.
+
+    cand[p] = index of the candidate matching at p (-1 otherwise; matches of
+    heterogeneous disjoint candidates never overlap, so every match is a kept
+    site). F[p] = the id token p carries after the whole batch applies: z_j
+    at site starts, z_j of the covering site at consumed tokens, unchanged
+    otherwise.  Writes F into a_ref and cand into b_ref (the rebuild-time
+    adjacency is not needed again this round).  Accumulates
+    acc_l[v & 127, j] over sites' left live partners v — the creation pairs
+    (v, z_j) — with candidate-involved partners under both hypotheses.
+    Returns acc_l (128, 128) int32 (cols >= bsel stay zero)."""
+    TRS = SCAN_TILE_ROWS
+    tflat = _tile_flat_iota()
+
+    def body(t, st):
+        acc, c_cand, c_F, c_seg, c_id = st
+        sl = pl.ds(t * TRS, TRS)
+        ids_t = ids_ref[sl, :]
+        seg_t = seg_ref[sl, :]
+        live_t = live_ref[sl, :]
+        a_t = a_ref[sl, :]
+        b_t = b_ref[sl, :]
+        cand = jnp.full((TRS, C), -1, jnp.int32)
+        for j in range(K_CAP):
+            m = (a_t == pas[j]) & (b_t == pbs[j]) & (j < bsel)
+            cand = jnp.where(m, j, cand)
+        s1, pc = _select_scan_fwd_exclusive(live_t, cand, -1)
+        pc = jnp.where(s1 == 1, pc, c_cand)
+        F = jnp.where(cand >= 0, zbase + cand,
+                      jnp.where(pc >= 0, zbase + pc, ids_t))
+        s2, pF = _select_scan_fwd_exclusive(live_t, F, -1)
+        pF = jnp.where(s2 == 1, pF, c_F)
+        s3, ps = _select_scan_fwd_exclusive(live_t, seg_t, -2)
+        ps = jnp.where(s3 == 1, ps, c_seg)
+        s4, pid = _select_scan_fwd_exclusive(live_t, ids_t, -1)
+        pid = jnp.where(s4 == 1, pid, c_id)
+        site = cand >= 0
+        lval = site & (ps == seg_t) & (pF >= 0)
+        rows1 = jnp.where(lval, pF & 127, -1)
+        wild = lval & (pF >= zbase)
+        rows2 = jnp.where(wild, pid & 127, -1)
+        cols = jnp.where(lval, cand, -1)
+        any_site = jnp.max(jnp.where(lval, 1, 0)) > 0
+        use2 = jnp.max(jnp.where(wild, 1, 0)) > 0
+        acc = jax.lax.cond(
+            any_site,
+            lambda a: _hist_tile(a, rows1, rows2, cols, use2),
+            lambda a: a, acc)
+        a_ref[sl, :] = F
+        b_ref[sl, :] = cand
+        fl = jnp.max(jnp.where(live_t == 1, tflat, -1))
+        has = fl >= 0
+        big = -(2 ** 31)
+        return (acc,
+                jnp.where(has, _tile_pick(cand, tflat, fl, big), c_cand),
+                jnp.where(has, _tile_pick(F, tflat, fl, big), c_F),
+                jnp.where(has, _tile_pick(seg_t, tflat, fl, big), c_seg),
+                jnp.where(has, _tile_pick(ids_t, tflat, fl, big), c_id))
+
+    st = jax.lax.fori_loop(
+        0, t_cur, body,
+        (jnp.zeros((128, 128), jnp.int32), jnp.int32(-1), jnp.int32(-1),
+         jnp.int32(-2), jnp.int32(-1)))
+    return st[0]
+
+
+def tiled_batch_hist_rev(ids_ref, seg_ref, live_ref, a_ref, b_ref,
+                         zbase, t_cur):
+    """Batch pass 2 (reverse): right-creation histogram.
+
+    Reads the final-id plane (a_ref) and candidate plane (b_ref) written by
+    tiled_batch_mark.  For a site (s, t) of candidate j the created right
+    pair is (z_j, w) with w = the SECOND next live token's final id (the
+    site's own consumed token t never survives, and w is never a consumed
+    token).  Returns acc_r (128, 128) int32: acc_r[w & 127, j] bounds every
+    creation pair (z_j, w) for every trim prefix (candidate-involved w under
+    both hypotheses)."""
+    TRS = SCAN_TILE_ROWS
+    tflat = _tile_flat_iota()
+
+    def body(tt, st):
+        acc, c1F, c1s, c1id, c2F, c2s, c2id = st
+        t = t_cur - 1 - tt
+        sl = pl.ds(t * TRS, TRS)
+        F_t = a_ref[sl, :]
+        cand_t = b_ref[sl, :]
+        seg_t = seg_ref[sl, :]
+        live_t = live_ref[sl, :]
+        ids_t = ids_ref[sl, :]
+        s1, nF, ns, nid = _select_scan_rev_exclusive(
+            live_t, (F_t, seg_t, ids_t), (-1, -2, -1))
+        nF = jnp.where(s1 == 1, nF, c1F)
+        ns = jnp.where(s1 == 1, ns, c1s)
+        nid = jnp.where(s1 == 1, nid, c1id)
+        s2, mF, ms, mid = _select_scan_rev_exclusive(
+            live_t, (nF, ns, nid), (-1, -2, -1))
+        mF = jnp.where(s2 == 1, mF, c2F)
+        ms = jnp.where(s2 == 1, ms, c2s)
+        mid = jnp.where(s2 == 1, mid, c2id)
+        site = cand_t >= 0
+        rval = site & (ms == seg_t) & (mF >= 0)
+        rows1 = jnp.where(rval, mF & 127, -1)
+        wild = rval & (mF >= zbase)
+        rows2 = jnp.where(wild, mid & 127, -1)
+        cols = jnp.where(rval, cand_t, -1)
+        any_site = jnp.max(jnp.where(rval, 1, 0)) > 0
+        use2 = jnp.max(jnp.where(wild, 1, 0)) > 0
+        acc = jax.lax.cond(
+            any_site,
+            lambda a: _hist_tile(a, rows1, rows2, cols, use2),
+            lambda a: a, acc)
+        fl1 = jnp.min(jnp.where(live_t == 1, tflat, INT32_MAX))
+        has1 = fl1 < INT32_MAX
+        fl2 = jnp.min(jnp.where((live_t == 1) & (tflat > fl1), tflat,
+                                INT32_MAX))
+        has2 = fl2 < INT32_MAX
+        big = -(2 ** 31)
+        n1F = jnp.where(has1, _tile_pick(F_t, tflat, fl1, big), c1F)
+        n1s = jnp.where(has1, _tile_pick(seg_t, tflat, fl1, big), c1s)
+        n1id = jnp.where(has1, _tile_pick(ids_t, tflat, fl1, big), c1id)
+        n2F = jnp.where(has2, _tile_pick(F_t, tflat, fl2, big),
+                        jnp.where(has1, c1F, c2F))
+        n2s = jnp.where(has2, _tile_pick(seg_t, tflat, fl2, big),
+                        jnp.where(has1, c1s, c2s))
+        n2id = jnp.where(has2, _tile_pick(ids_t, tflat, fl2, big),
+                         jnp.where(has1, c1id, c2id))
+        return (acc, n1F, n1s, n1id, n2F, n2s, n2id)
+
+    st = jax.lax.fori_loop(
+        0, t_cur, body,
+        (jnp.zeros((128, 128), jnp.int32),
+         jnp.int32(-1), jnp.int32(-2), jnp.int32(-1),
+         jnp.int32(-1), jnp.int32(-2), jnp.int32(-1)))
+    return st[0]
+
+
+def tiled_batch_apply(ids_ref, live_ref, b_ref, zbase, bstar, t_cur):
+    """Combined apply of the accepted batch prefix: every position whose
+    candidate index (b_ref, from tiled_batch_mark) is < bstar becomes its
+    merge's new id; the consumed next-live token is killed via the same
+    previous-live-was-kept rule as the single-merge apply
+    (minbpe/base.py:25-41 — overlap parity is vacuous here: batch candidates
+    are heterogeneous and token-disjoint, so matches can never overlap).
+    Returns a (1, C) vector whose lane j holds candidate j's kept-site
+    count."""
+    TRS = SCAN_TILE_ROWS
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+    tflat = _tile_flat_iota()
+
+    def body(t, st):
+        c_k, kept_v = st
+        sl = pl.ds(t * TRS, TRS)
+        live_t = live_ref[sl, :]
+        ids_t = ids_ref[sl, :]
+        cand_t = b_ref[sl, :]
+        keep = ((cand_t >= 0) & (cand_t < bstar)).astype(jnp.int32)
+        s, kprv = _select_scan_fwd_exclusive(live_t, keep, 0)
+        kprv = jnp.where(s == 1, kprv, c_k)
+        ids_ref[sl, :] = jnp.where(keep == 1, zbase + cand_t, ids_t)
+        live_ref[sl, :] = jnp.where(kprv == 1, 0, live_t)
+        for j in range(K_CAP):
+            kj = jnp.sum(jnp.where((keep == 1) & (cand_t == j), 1, 0))
+            kept_v = kept_v + jnp.where(lane1 == j, kj, 0)
+        fl = jnp.max(jnp.where(live_t == 1, tflat, -1))
+        has = fl >= 0
+        return (jnp.where(has, _tile_pick(keep, tflat, fl, -(2 ** 31)), c_k),
+                kept_v)
+
+    st = jax.lax.fori_loop(
+        0, t_cur, body, (jnp.int32(0), jnp.zeros((1, C), jnp.int32)))
+    return st[1]
+
+
+# ---------------------------------------------------------------------------
 # the kernel
 # ---------------------------------------------------------------------------
 
@@ -475,16 +724,19 @@ def _kernel(ids_in, seg_in, live_in, ctl_in, out_ref,
             ids_ref, seg_ref, live_ref,
             a_ref, b_ref, dma_sems,
             *, R: int, V: int, Mp: int, phases: str = "full"):
-    """Single-launch whole-training kernel.
+    """Single-launch whole-training kernel with exact multi-merge batching.
 
-    The ENTIRE merge loop runs in this one launch: per round the stream is
-    re-derived (adjacency), counted (one-hot MXU matmuls in 128-wide
-    vocab blocks, skipping blocks above the current max id), selected
-    (reference tie-break, pay-per-tie), and merged in place; every
-    COMPACT_EVERY rounds the live tokens are front-compacted in VMEM
-    (_compact_inplace) so all per-round work shrinks with the live count —
-    count/scan cost tracks the integral of live tokens over rounds instead
-    of the initial stream size.
+    The ENTIRE merge loop runs in this one launch.  Each outer iteration
+    does ONE count rebuild (adjacency + one-hot MXU matmuls in 128-wide
+    vocab blocks, skipping blocks above the current max id) and then accepts
+    as many merges as are provable from that single count (see the batching
+    block comment above tiled_batch_mark): candidates in exact reference
+    order off the rebuilt matrix, stopped at the first token-sharing /
+    homogeneous / creation-bound-failing one, applied in ONE combined pass.
+    Single-candidate rebuilds (and homogeneous argmaxes) take the exact
+    single-merge path with the full run-parity apply.  Every COMPACT_EVERY
+    accepted merges the live tokens are front-compacted in VMEM
+    (_compact_inplace) so all per-round work shrinks with the live count.
 
     ctl: [0,0] fail-round so far, [1,0] live token count, [2,0] first global
     round r0, [3,0] m_eff = rounds to run (dynamic: one compiled kernel per
@@ -492,7 +744,9 @@ def _kernel(ids_in, seg_in, live_in, ctl_in, out_ref,
     (pa, pb, count, kept); the final fail round lands in row m_eff.
 
     `phases` is the profiling knob (scripts/profile_phases.py): truncate
-    each round after "none"/"adj"/"count"/"select" for cost attribution.
+    each round after "none"/"adj"/"count"/"select" for cost attribution
+    (phase-truncated rounds advance one merge and skip the batch machinery;
+    "select" now times the full candidate walk).
     """
     for src, dst, k in ((ids_in, ids_ref, 0), (seg_in, seg_ref, 1),
                         (live_in, live_ref, 2)):
@@ -619,62 +873,31 @@ def _kernel(ids_in, seg_in, live_in, ctl_in, out_ref,
     def _truncate(i, val):
         out_ref[pl.ds(i, 1), :] = jnp.zeros((1, C), jnp.int32) + val
 
-    def round_body(i, carry):
-        fail, n_live, bound = carry
-        if phases == "none":
-            _truncate(i, i)
-            return fail, n_live, bound
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
 
-        # periodic in-VMEM front compaction: all per-round work below
-        # scales with `bound`, which tracks the live count
-        do_c = c_on & (i > 0) & (i % c_every == 0) & \
-            (bound - n_live > (bound >> c_shift))
+    def vget(vec, j):
+        return jnp.max(jnp.where(lane1 == j, vec, -(2 ** 31)))
 
-        def compact(_):
-            _compact_inplace(ids_ref, seg_ref, live_ref, a_ref, b_ref,
-                             bound, n_live)
-            return n_live
+    def vset(vec, j, val):
+        return jnp.where(lane1 == j, val, vec)
 
-        bound = jax.lax.cond(do_c, compact, lambda _: bound, 0)
-        t_cur = (bound + TILE_ELEMS - 1) // TILE_ELEMS
-
-        tiled_adjacency(ids_ref, seg_ref, live_ref, a_ref, b_ref, T, t_cur)
-        if phases == "adj":
-            _truncate(i, jnp.max(a_ref[:]) + jnp.max(b_ref[:]))
-            return fail, n_live, bound
-
-        # ids present this round are < 256 + r0 + i: skip vocab blocks
-        # above that (the count matrix there is identically zero)
-        nvb = jnp.minimum((256 + r0 + i + 127) // 128, NB)
-        if V <= 512:
-            counts = count_blocked(bound, nvb)
-        else:
-            counts = count_full(bound)
-        maxc = jnp.max(counts)
-        if phases == "count":
-            _truncate(i, maxc)
-            return fail, n_live, bound
+    def select_candidate(counts, maxc, t_cur):
+        """Exact reference argmax over the (possibly entry-zeroed) count
+        matrix: unique max picked directly; ties resolved by earliest first
+        stream occurrence (minbpe/basic.py:35 + base.py:20-21) via the
+        pay-per-tie serial walk — trip count = ACTUAL tie count, one masked
+        min-reduce over the compacted prefix per tied pair (worst case on
+        adversarial max-tie corpora is documented in STATUS)."""
         tied = counts == maxc
         n_tied = jnp.sum(tied.astype(jnp.int32))
+        vi = jax.lax.broadcasted_iota(jnp.int32, (V, V), 0) * V + \
+            jax.lax.broadcasted_iota(jnp.int32, (V, V), 1)
 
         def pick_unique(_):
-            vi = jax.lax.broadcasted_iota(jnp.int32, (V, V), 0) * V + \
-                jax.lax.broadcasted_iota(jnp.int32, (V, V), 1)
             flat = jnp.min(jnp.where(tied, vi, INT32_MAX))
             return flat // V, flat % V
 
         def pick_tied_serial(_):
-            """Walk the tied pairs in ascending flat-key order; the winner
-            is the pair whose first stream occurrence is earliest
-            (minbpe/basic.py:35 + base.py:20-21). Trip count = ACTUAL tie
-            count — pay-per-tie, exact for any tie set. Worst-case bound:
-            rounds with huge tie sets (e.g. the maxc == 1 tail on
-            adversarial corpora) pay one masked min-reduce over the
-            compacted prefix per tied pair; the bench corpus never exceeds
-            6 ties (ADVICE r3 #3 documents the trade)."""
-            vi = jax.lax.broadcasted_iota(jnp.int32, (V, V), 0) * V + \
-                jax.lax.broadcasted_iota(jnp.int32, (V, V), 1)
-
             def body(t, st):
                 prev, best_fi, pa, pb = st
                 flat = jnp.min(jnp.where(tied & (vi > prev), vi, INT32_MAX))
@@ -693,39 +916,193 @@ def _kernel(ids_in, seg_in, live_in, ctl_in, out_ref,
                  jnp.int32(0)))
             return pa, pb
 
-        pa, pb = jax.lax.cond(n_tied == 1, pick_unique, pick_tied_serial,
-                              None)
+        return jax.lax.cond(n_tied == 1, pick_unique, pick_tied_serial, None)
+
+    def _active_round(i, fail, n_live, bound, lc):
+        """One count rebuild + as many accepted merges as it proves.
+        Returns the advanced (i, fail, n_live, bound, lc) carry."""
+        if phases == "none":
+            _truncate(i, i)
+            return (i + 1, fail, n_live, bound, lc)
+
+        # periodic in-VMEM front compaction: all per-rebuild work below
+        # scales with `bound`, which tracks the live count
+        do_c = c_on & (i > 0) & (i - lc >= c_every) & \
+            (bound - n_live > (bound >> c_shift))
+
+        def compact(_):
+            _compact_inplace(ids_ref, seg_ref, live_ref, a_ref, b_ref,
+                             bound, n_live)
+            return n_live
+
+        bound = jax.lax.cond(do_c, compact, lambda _: bound, 0)
+        lc = jnp.where(do_c, i, lc)
+        t_cur = (bound + TILE_ELEMS - 1) // TILE_ELEMS
+
+        tiled_adjacency(ids_ref, seg_ref, live_ref, a_ref, b_ref, T, t_cur)
+        if phases == "adj":
+            _truncate(i, jnp.max(a_ref[:]) + jnp.max(b_ref[:]))
+            return (i + 1, fail, n_live, bound, lc)
+
+        # ids present this round are < 256 + r0 + i: skip vocab blocks
+        # above that (the count matrix there is identically zero)
+        nvb = jnp.minimum((256 + r0 + i + 127) // 128, NB)
+        if V <= 512:
+            counts = count_blocked(bound, nvb)
+        else:
+            counts = count_full(bound)
+        if phases == "count":
+            _truncate(i, jnp.max(counts))
+            return (i + 1, fail, n_live, bound, lc)
+
+        zbase = 256 + r0 + i
+
+        # ---- selection walk: up to K_CAP candidates off one count --------
+        def sel_body(j, sst):
+            cnts, pa_v, pb_v, c_v, bsel, stop = sst
+
+            def run(_):
+                maxc = jnp.max(cnts)
+                pa, pb = select_candidate(cnts, maxc, t_cur)
+                shares = jnp.max(jnp.where(
+                    (lane1 < bsel) & ((pa_v == pa) | (pa_v == pb) |
+                                      (pb_v == pa) | (pb_v == pb)),
+                    1, 0)) > 0
+                hom0 = vget(pa_v, 0) == vget(pb_v, 0)
+                ok = (maxc > 0) & ((j == 0) |
+                                   ((~shares) & (pa != pb) & (~hom0)))
+
+                def acc(_):
+                    vi_r = jax.lax.broadcasted_iota(jnp.int32, (V, V), 0)
+                    vi_c = jax.lax.broadcasted_iota(jnp.int32, (V, V), 1)
+                    c2 = jnp.where((vi_r == pa) & (vi_c == pb), 0, cnts)
+                    return (c2, vset(pa_v, j, pa), vset(pb_v, j, pb),
+                            vset(c_v, j, maxc), bsel + 1, stop)
+
+                def rej(_):
+                    return (cnts, pa_v, pb_v, c_v, bsel, jnp.int32(1))
+
+                return jax.lax.cond(ok, acc, rej, None)
+
+            return jax.lax.cond(stop == 1, lambda _: sst, run, None)
+
+        init_vec = jnp.full((1, C), -2, jnp.int32)
+        _, pa_v, pb_v, c_v, bsel, _ = jax.lax.fori_loop(
+            0, K_CAP, sel_body,
+            (counts, init_vec, init_vec, jnp.zeros((1, C), jnp.int32),
+             jnp.int32(0), jnp.int32(0)))
+
+        pa0 = vget(pa_v, 0)
+        pb0 = vget(pb_v, 0)
+        c0 = vget(c_v, 0)
         if phases == "select":
-            _truncate(i, pa * V + pb)
-            return fail, n_live, bound
-        ok = (maxc > 0) & (fail >= r0 + i)
+            _truncate(i, pa0 * V + pb0)
+            return (i + 1, fail, n_live, bound, lc)
+        if phases in ("mark", "hist"):
+            # batch-machinery profiling: pass 1 only / passes 1+2+trim
+            def bm(_):
+                pas = [vget(pa_v, j) for j in range(K_CAP)]
+                pbs = [vget(pb_v, j) for j in range(K_CAP)]
+                acc_l = tiled_batch_mark(ids_ref, seg_ref, live_ref, a_ref,
+                                         b_ref, pas, pbs, bsel, zbase, t_cur)
+                if phases == "mark":
+                    return jnp.max(acc_l)
+                acc_r = tiled_batch_hist_rev(ids_ref, seg_ref, live_ref,
+                                             a_ref, b_ref, zbase, t_cur)
+                return jnp.max(acc_l) + jnp.max(acc_r)
 
-        def do(_):
-            kept = tiled_apply(ids_ref, live_ref, a_ref, b_ref, pa, pb,
-                               jnp.int32(256) + r0 + i, T, t_cur)[4]
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
-            row = jnp.where(lane == 0, pa,
-                            jnp.where(lane == 1, pb,
-                                      jnp.where(lane == 2, maxc,
-                                                jnp.where(lane == 3, kept,
+            v = jax.lax.cond(bsel >= 2, bm, lambda _: jnp.int32(0), None)
+            _truncate(i, v)
+            return (i + 1, fail, n_live, bound, lc)
+
+        def log_row(slot, pa, pb, cnt, kept):
+            row = jnp.where(lane1 == 0, pa,
+                            jnp.where(lane1 == 1, pb,
+                                      jnp.where(lane1 == 2, cnt,
+                                                jnp.where(lane1 == 3, kept,
                                                           0))))
-            out_ref[pl.ds(i, 1), :] = row
-            # kept (NOT maxc): for pa == pb overlapping occurrences,
-            # consumed tokens = kept sites < occurrence count
-            return fail, n_live - kept
+            out_ref[pl.ds(slot, 1), :] = row
 
-        def skip(_):
+        def no_pair(_):
+            # fresh failure: no countable pair left (minbpe basic.py:35's
+            # max() on an empty dict) — record and let the tail writer fill
+            # the remaining zero rows
             out_ref[pl.ds(i, 1), :] = jnp.zeros((1, C), jnp.int32)
-            return (jnp.where(maxc > 0, fail, jnp.minimum(fail, r0 + i)),
-                    n_live)
+            return (i + 1, jnp.minimum(fail, r0 + i), n_live, bound, lc)
 
-        fail, n_live = jax.lax.cond(ok, do, skip, None)
-        return fail, n_live, bound
+        def single(_):
+            # kept (NOT count): for pa == pb overlapping occurrences,
+            # consumed tokens = kept sites < occurrence count
+            kept = tiled_apply(ids_ref, live_ref, a_ref, b_ref, pa0, pb0,
+                               zbase, T, t_cur)[4]
+            log_row(i, pa0, pb0, c0, kept)
+            return (i + 1, fail, n_live - kept, bound, lc)
 
-    fail, n_live, _ = jax.lax.fori_loop(
-        0, m_eff, round_body, (fail_in, n_live0, n_live0))
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
-    out_ref[pl.ds(m_eff, 1), :] = jnp.where(lane == 0, fail, 0)
+        def batch(_):
+            pas = [vget(pa_v, j) for j in range(K_CAP)]
+            pbs = [vget(pb_v, j) for j in range(K_CAP)]
+            acc_l = tiled_batch_mark(ids_ref, seg_ref, live_ref, a_ref,
+                                     b_ref, pas, pbs, bsel, zbase, t_cur)
+            acc_r = tiled_batch_hist_rev(ids_ref, seg_ref, live_ref, a_ref,
+                                         b_ref, zbase, t_cur)
+            hcol = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+            cm = [jnp.maximum(
+                jnp.max(jnp.where(hcol == j, acc_l, 0)),
+                jnp.max(jnp.where(hcol == j, acc_r, 0)))
+                for j in range(K_CAP)]
+            # trim: accept prefix while c_k strictly beats every creation
+            # bound of earlier accepted merges
+            bstar = jnp.int32(1)
+            bnd = cm[0]
+            for k in range(1, K_CAP):
+                ok_k = (k < bsel) & (bstar == k) & (vget(c_v, k) > bnd)
+                bstar = jnp.where(ok_k, k + 1, bstar)
+                bnd = jnp.where(ok_k, jnp.maximum(bnd, cm[k]), bnd)
+            bstar = jnp.minimum(bstar, m_eff - i)
+            kept_v = tiled_batch_apply(ids_ref, live_ref, b_ref, zbase,
+                                       bstar, t_cur)
+            tot = jnp.int32(0)
+            for j in range(K_CAP):
+                kj = jnp.max(jnp.where(lane1 == j, kept_v, 0))
+
+                def wr(_):
+                    log_row(i + j, pas[j], pbs[j], vget(c_v, j), kj)
+                    return 0
+
+                jax.lax.cond(j < bstar, wr, lambda _: 0, 0)
+                tot = tot + jnp.where(j < bstar, kj, 0)
+            return (i + bstar, fail, n_live - tot, bound, lc)
+
+        def nonzero(_):
+            return jax.lax.cond(bsel == 1, single, batch, None)
+
+        return jax.lax.cond(bsel == 0, no_pair, nonzero, None)
+
+    def outer_cond(st):
+        return st[0] < m_eff
+
+    def outer_body(st):
+        i, fail, n_live, bound, lc, nreb = st
+
+        def failed_tail(_):
+            # a round already failed: every later round writes a zero row
+            # (same observable output as the reference's exception path)
+            out_ref[pl.ds(i, 1), :] = jnp.zeros((1, C), jnp.int32)
+            return (i + 1, fail, n_live, bound, lc, nreb)
+
+        def active(_):
+            return _active_round(i, fail, n_live, bound, lc) + (nreb + 1,)
+
+        return jax.lax.cond(fail < r0 + i, failed_tail, active, None)
+
+    _, fail, n_live, _, _, nreb = jax.lax.while_loop(
+        outer_cond, outer_body,
+        (jnp.int32(0), fail_in, n_live0, n_live0, jnp.int32(0),
+         jnp.int32(0)))
+    # final row: lane 0 = fail round, lane 1 = count rebuilds executed
+    # (diagnostic: merges / rebuilds = measured batching factor)
+    out_ref[pl.ds(m_eff, 1), :] = jnp.where(
+        lane1 == 0, fail, jnp.where(lane1 == 1, nreb, 0))
 
 
 @functools.partial(jax.jit, static_argnames=("R",))
@@ -868,5 +1245,10 @@ def _train_from_planes(ids2, seg2, live2, n: int, num_merges: int,
            .at[4, 0].set(COMPACT_EVERY))
     out = _run_single(ids2, seg2, live2, ctl, R, V, Mp, interpret)
     out_h = np.asarray(out)  # the one sync point of the whole training run
+    global LAST_REBUILDS
+    LAST_REBUILDS = int(out_h[M, 1])  # diagnostic: merges/rebuilds = batch B
     return (out_h[:M, 0:2].copy(), out_h[:M, 2].copy(),
             min(int(out_h[M, 0]), M))
+
+
+LAST_REBUILDS = 0  # count rebuilds of the most recent fused run (diagnostic)

@@ -2,9 +2,12 @@
 
 Builds the shared library on first use if a C++ toolchain is available;
 callers fall back to the pure-Python scanner (utils/presplit.py) when the
-native path is unavailable. Both implementations are differential-tested
-against the ``regex`` module (tests/test_presplit.py).
-"""
+native path is unavailable. Both implementations run under the full
+adversarial/random/BMP differential sweep against the ``regex`` module in
+tests/test_presplit.py (the native one via split_utf8 whenever the .so
+builds — test_native_scanner_present fails rather than skips when a
+toolchain exists, so the production default cannot silently drop out of
+coverage)."""
 
 from __future__ import annotations
 

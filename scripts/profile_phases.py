@@ -42,7 +42,7 @@ from minbpe_tpu.regex import RegexTokenizer
 
 CORPUS = "/root/reference/tests/taylorswift.txt"
 M = 128
-PHASES = ["none", "adj", "count", "select", "full"]
+PHASES = ["none", "adj", "count", "select", "mark", "hist", "full"]
 
 
 def variant(text: str, seed: int) -> str:
@@ -134,7 +134,8 @@ def main():
         prev = 0.0
         print(f"\n-- V={V} attribution (us/round) --")
         for ph, label in [("none", "loop overhead"), ("adj", "adjacency"),
-                          ("count", "pair count"), ("select", "tie select"),
+                          ("count", "pair count"), ("select", "sel walk"),
+                          ("mark", "batch mark"), ("hist", "batch hist"),
                           ("full", "apply+log")]:
             cur = get(ph)
             if cur is None:

@@ -200,3 +200,106 @@ class TestOwnerSelection:
         _, _, _, oflow = fn(jnp.asarray(ids), jnp.asarray(seg),
                             jnp.asarray(lens))
         assert int(oflow) == 1
+
+
+class TestSteppedCheckpoint:
+    """Host-driven stepped distributed trainer + checkpoint/resume: killing a
+    run mid-way and resuming from its checkpoint must be bit-identical to an
+    uninterrupted run (VERDICT r4 #4; reference analogue is final-artifact
+    persistence only, minbpe/base.py:97-165)."""
+
+    def test_stepped_matches_single_jit(self):
+        from minbpe_tpu import RegexTokenizer
+
+        text = ("Stepped distributed training must match the one-launch "
+                "program exactly, ties included. " * 40)
+        single = RegexTokenizer()
+        single.train(text, 256 + 30)
+        chunks = single._split_chunks(text)
+        merges, _ = train_chunks_distributed(
+            chunks, 30, make_mesh(8), checkpoint_every=7)
+        assert merges == single.merges
+
+    def test_kill_and_resume_bit_identical(self, tmp_path):
+        from minbpe_tpu.parallel.train import _train_distributed_stepped
+        from minbpe_tpu.utils import checkpoint as ck
+
+        rng = random.Random(77)
+        chunks = [
+            bytes(rng.randint(97, 105) for _ in range(rng.randint(1, 20)))
+            for _ in range(60)
+        ]
+        M = 26
+        mesh = make_mesh(8)
+        full, _ = train_chunks_distributed(chunks, M, mesh)
+
+        # run WITH checkpointing but "kill" it by training only a prefix:
+        # drive the stepped trainer for fewer merges, keeping its checkpoint
+        path = str(tmp_path / "dist.ckpt.npz")
+        ids, seg, lens = shard_chunks(chunks, 8)
+        try:
+            _train_distributed_stepped(
+                ids, seg, lens, M, mesh, False, "dense", path, 8, None)
+        except BaseException:
+            pass
+        # simulate the kill at the FIRST checkpoint: rewrite round_idx back
+        state = ck.load(path)
+        assert state["round_idx"] >= 8
+        ck.save(path, state["pairs"][:8], state["counts"][:8], 8, M,
+                state["fingerprint"])
+
+        resumed, _ = train_chunks_distributed(
+            chunks, M, mesh, checkpoint_path=str(tmp_path / "d2.npz"),
+            checkpoint_every=8, resume_from=path)
+        assert resumed == full
+
+    def test_resume_wrong_corpus_rejected(self, tmp_path):
+        rng = random.Random(78)
+        chunks = [bytes(rng.randint(97, 103) for _ in range(12))
+                  for _ in range(40)]
+        path = str(tmp_path / "c.npz")
+        mesh = make_mesh(8)
+        train_chunks_distributed(chunks, 10, mesh, checkpoint_path=path,
+                                 checkpoint_every=4)
+        other = [b"different corpus entirely"] * 40
+        with pytest.raises(ValueError, match="fingerprint|corpus"):
+            train_chunks_distributed(other, 10, mesh, resume_from=path)
+
+
+class TestShardedEncode:
+    """Chunk-sharded multi-device encode (VERDICT r4 #6): embarrassingly
+    parallel, must equal encode_ordinary exactly."""
+
+    def test_matches_encode_ordinary(self):
+        from minbpe_tpu import RegexTokenizer
+        from minbpe_tpu.parallel.encode import encode_text_distributed
+
+        text = ("Sharded encode is the sequence-parallel serving path; "
+                "chunks are independent so exactness is free! " * 50)
+        tok = RegexTokenizer()
+        tok.train(text, 256 + 40)
+        mesh = make_mesh(8)
+        got = encode_text_distributed(tok, text, mesh)
+        assert got == tok.encode_ordinary(text)
+
+    def test_corpus_slice(self, corpus_text):
+        from minbpe_tpu import RegexTokenizer
+        from minbpe_tpu.parallel.encode import encode_text_distributed
+
+        text = corpus_text[:30000]
+        tok = RegexTokenizer()
+        tok.train(text, 256 + 64)
+        mesh = make_mesh(8)
+        got = encode_text_distributed(tok, text, mesh)
+        assert got == tok.encode_ordinary(text)
+
+    def test_empty_and_no_merges(self):
+        from minbpe_tpu import RegexTokenizer
+        from minbpe_tpu.parallel.encode import encode_text_distributed
+
+        tok = RegexTokenizer()
+        mesh = make_mesh(8)
+        assert encode_text_distributed(tok, "", mesh) == []
+        # no merges learned: raw (chunked) bytes come back unchanged
+        got = encode_text_distributed(tok, "hi there", mesh)
+        assert got == tok.encode_ordinary("hi there")

@@ -150,3 +150,90 @@ def test_from_bytes_parity():
     assert int(f1) == int(f2)
     assert (np.asarray(p1) == np.asarray(p2)).all()
     assert (np.asarray(c1) == np.asarray(c2)).all()
+
+
+# ---------------------------------------------------------------------------
+# multi-merge batching (r5): corpora shaped to exercise the batch machinery
+# ---------------------------------------------------------------------------
+
+def test_batch_disjoint_hot_pairs():
+    """Several token-disjoint hot pairs with well-separated counts: the
+    selection walk should accept multi-merge batches, and the result must
+    still be bit-identical to the sequential oracle."""
+    rng = random.Random(11)
+    words = [b"ab", b"cd", b"ef", b"gh", b"ij", b"kl"]
+    chunks = []
+    for _ in range(800):
+        w = []
+        for k, word in enumerate(words):
+            # geometric-ish falloff => distinct counts => deep batches
+            if rng.random() < 0.9 - 0.12 * k:
+                w.append(word)
+        w.append(bytes([rng.randint(0, 255)]))
+        chunks.append(b"".join(w))
+    _cmp(chunks, 24)
+
+
+def test_batch_creation_bound_edge():
+    """Created pairs immediately rival the next candidate: 'th' creates
+    ('th', 'e') at nearly the count of the next-ranked pair, forcing the
+    creation bound to trim batches. Exactness must survive the trim."""
+    rng = random.Random(12)
+    chunks = []
+    for _ in range(600):
+        parts = []
+        if rng.random() < 0.95:
+            parts.append(b"the")   # (t,h) then (th,e) chained
+        if rng.random() < 0.6:
+            parts.append(b"in")
+        if rng.random() < 0.45:
+            parts.append(b"er")
+        parts.append(bytes([rng.randint(32, 90)]))
+        chunks.append(b" ".join(parts))
+    _cmp(chunks, 32)
+
+
+def test_batch_homogeneous_argmax():
+    """Homogeneous (x, x) argmax among heterogeneous rivals: batches must
+    stop at homogeneous candidates and route them through the run-parity
+    single-merge path."""
+    rng = random.Random(13)
+    chunks = []
+    for _ in range(500):
+        parts = [b"a" * rng.randint(2, 6)]
+        if rng.random() < 0.7:
+            parts.append(b"xy")
+        if rng.random() < 0.5:
+            parts.append(b"pq")
+        chunks.append(b"".join(parts) + bytes([rng.randint(0, 255)]))
+    _cmp(chunks, 20)
+
+
+def test_batch_adjacent_sites():
+    """Candidate sites adjacent in the stream ('ingo' => (i,n) and (g,o)
+    sites touch): exercises the hypothesis-doubled wildcard accounting in
+    both histograms."""
+    rng = random.Random(14)
+    chunks = []
+    for _ in range(700):
+        parts = []
+        if rng.random() < 0.9:
+            parts.append(b"ingo")
+        if rng.random() < 0.55:
+            parts.append(b"stat")
+        parts.append(bytes([rng.randint(97, 122)]))
+        chunks.append(b"".join(parts))
+    _cmp(chunks, 28)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_batch_random_midsize(seed):
+    """Mid-size random corpora over a small alphabet: count spectra are
+    dense, so batches trim at every depth; cross-checks selection, trim,
+    combined apply, and the kill scan against the oracle."""
+    rng = random.Random(700 + seed)
+    chunks = []
+    for _ in range(rng.randint(200, 400)):
+        n = rng.randint(1, 30)
+        chunks.append(bytes(rng.randint(0, 9) for _ in range(n)))
+    _cmp(chunks, rng.randint(12, 40))

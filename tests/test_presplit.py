@@ -1,5 +1,11 @@
 """Differential tests: hand-derived GPT-2/GPT-4 split scanners vs the
-``regex`` module (the semantics oracle the reference uses)."""
+``regex`` module (the semantics oracle the reference uses,
+minbpe/regex.py:41,114).
+
+Every case runs against BOTH implementations: the pure-Python byte-class
+scanner (utils/presplit.py) and the native C++ scanner (csrc/presplit.cpp,
+the production default in RegexTokenizer._split_arrays) when its .so builds.
+"""
 
 import random
 
@@ -7,15 +13,37 @@ import pytest
 import regex as re
 
 from minbpe_tpu.regex import GPT2_SPLIT_PATTERN, GPT4_SPLIT_PATTERN
+from minbpe_tpu.utils import native
 from minbpe_tpu.utils.presplit import split_gpt2, split_gpt4
 
 GPT2_RE = re.compile(GPT2_SPLIT_PATTERN)
 GPT4_RE = re.compile(GPT4_SPLIT_PATTERN)
+NATIVE = native.available()
 
 
 def check(text):
-    assert split_gpt4(text) == re.findall(GPT4_RE, text), f"gpt4 on {text!r}"
-    assert split_gpt2(text) == re.findall(GPT2_RE, text), f"gpt2 on {text!r}"
+    want4 = re.findall(GPT4_RE, text)
+    want2 = re.findall(GPT2_RE, text)
+    assert split_gpt4(text) == want4, f"gpt4 on {text!r}"
+    assert split_gpt2(text) == want2, f"gpt2 on {text!r}"
+    if NATIVE:
+        data = text.encode("utf-8")
+        got4 = native.split_utf8(data, 4)
+        got2 = native.split_utf8(data, 2)
+        assert got4 == [c.encode("utf-8") for c in want4], \
+            f"native gpt4 on {text!r}"
+        assert got2 == [c.encode("utf-8") for c in want2], \
+            f"native gpt2 on {text!r}"
+
+
+def test_native_scanner_present():
+    """The production fast path must actually be under this sweep in CI
+    environments with a toolchain; skip only when g++ is genuinely absent."""
+    import shutil
+
+    if shutil.which("g++") is None and shutil.which("cc") is None:
+        pytest.skip("no C++ toolchain")
+    assert NATIVE, "native presplit .so failed to build"
 
 
 ADVERSARIAL = [
