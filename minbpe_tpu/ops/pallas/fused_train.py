@@ -390,6 +390,12 @@ def tiled_mask_dead(ids_ref, live_ref, T):
 
 K_CAP = 8  # max merges accepted per count rebuild
 
+# Above this many tied pairs the serial pay-per-tie walk (one full-stream
+# masked reduce per tied pair) gives way to the fixed-cost matmul membership
+# sweep (~one count-rebuild equivalent regardless of tie count) — the cap on
+# the adversarial maxc==1 tail where every distinct pair ties.
+TIE_SERIAL_MAX = 64
+
 
 def _oh128(t, g0):
     """(32 * rows, 128) int8 one-hot of a value tile's lanes g0..g0+32;
@@ -437,7 +443,8 @@ def _hist_tile(acc, rows1, rows2, cols, use2):
 
 
 def tiled_batch_mark(ids_ref, seg_ref, live_ref, a_ref, b_ref,
-                     pas, pbs, bsel, zbase, t_cur):
+                     pas, pbs, bsel, zbase, t_cur, carry_in=None,
+                     acc0=None):
     """Batch pass 1 (forward): candidate-site plane, final-id plane, and the
     left-creation histogram.
 
@@ -449,7 +456,9 @@ def tiled_batch_mark(ids_ref, seg_ref, live_ref, a_ref, b_ref,
     adjacency is not needed again this round).  Accumulates
     acc_l[v & 127, j] over sites' left live partners v — the creation pairs
     (v, z_j) — with candidate-involved partners under both hypotheses.
-    Returns acc_l (128, 128) int32 (cols >= bsel stay zero)."""
+    Returns (acc_l, carry_out): acc_l (128, 128) int32 (cols >= bsel stay
+    zero); carry_out = (cand, F, seg, id) at the stream's last live position
+    (for the XL driver's cross-segment chaining via carry_in/acc0)."""
     TRS = SCAN_TILE_ROWS
     tflat = _tile_flat_iota()
 
@@ -498,15 +507,15 @@ def tiled_batch_mark(ids_ref, seg_ref, live_ref, a_ref, b_ref,
                 jnp.where(has, _tile_pick(seg_t, tflat, fl, big), c_seg),
                 jnp.where(has, _tile_pick(ids_t, tflat, fl, big), c_id))
 
-    st = jax.lax.fori_loop(
-        0, t_cur, body,
-        (jnp.zeros((128, 128), jnp.int32), jnp.int32(-1), jnp.int32(-1),
-         jnp.int32(-2), jnp.int32(-1)))
-    return st[0]
+    init_c = carry_in if carry_in is not None else (
+        jnp.int32(-1), jnp.int32(-1), jnp.int32(-2), jnp.int32(-1))
+    init_a = acc0 if acc0 is not None else jnp.zeros((128, 128), jnp.int32)
+    st = jax.lax.fori_loop(0, t_cur, body, (init_a,) + tuple(init_c))
+    return st[0], st[1:]
 
 
 def tiled_batch_hist_rev(ids_ref, seg_ref, live_ref, a_ref, b_ref,
-                         zbase, t_cur):
+                         zbase, t_cur, carry_in=None, acc0=None):
     """Batch pass 2 (reverse): right-creation histogram.
 
     Reads the final-id plane (a_ref) and candidate plane (b_ref) written by
@@ -515,7 +524,9 @@ def tiled_batch_hist_rev(ids_ref, seg_ref, live_ref, a_ref, b_ref,
     site's own consumed token t never survives, and w is never a consumed
     token).  Returns acc_r (128, 128) int32: acc_r[w & 127, j] bounds every
     creation pair (z_j, w) for every trim prefix (candidate-involved w under
-    both hypotheses)."""
+    both hypotheses). Returns (acc_r, carry_out); carry_out = the
+    (F, seg, id) values at the stream's FIRST and SECOND live positions
+    (XL cross-segment chaining — this pass runs back-to-front)."""
     TRS = SCAN_TILE_ROWS
     tflat = _tile_flat_iota()
 
@@ -567,23 +578,25 @@ def tiled_batch_hist_rev(ids_ref, seg_ref, live_ref, a_ref, b_ref,
                          jnp.where(has1, c1id, c2id))
         return (acc, n1F, n1s, n1id, n2F, n2s, n2id)
 
-    st = jax.lax.fori_loop(
-        0, t_cur, body,
-        (jnp.zeros((128, 128), jnp.int32),
-         jnp.int32(-1), jnp.int32(-2), jnp.int32(-1),
-         jnp.int32(-1), jnp.int32(-2), jnp.int32(-1)))
-    return st[0]
+    init_c = carry_in if carry_in is not None else (
+        jnp.int32(-1), jnp.int32(-2), jnp.int32(-1),
+        jnp.int32(-1), jnp.int32(-2), jnp.int32(-1))
+    init_a = acc0 if acc0 is not None else jnp.zeros((128, 128), jnp.int32)
+    st = jax.lax.fori_loop(0, t_cur, body, (init_a,) + tuple(init_c))
+    return st[0], st[1:]
 
 
-def tiled_batch_apply(ids_ref, live_ref, b_ref, zbase, bstar, t_cur):
+def tiled_batch_apply(ids_ref, live_ref, b_ref, zbase, bstar, t_cur,
+                      carry_in=None, kept0=None):
     """Combined apply of the accepted batch prefix: every position whose
     candidate index (b_ref, from tiled_batch_mark) is < bstar becomes its
     merge's new id; the consumed next-live token is killed via the same
     previous-live-was-kept rule as the single-merge apply
     (minbpe/base.py:25-41 — overlap parity is vacuous here: batch candidates
     are heterogeneous and token-disjoint, so matches can never overlap).
-    Returns a (1, C) vector whose lane j holds candidate j's kept-site
-    count."""
+    Returns (kept_v, carry_out): kept_v is a (1, C) vector whose lane j
+    holds candidate j's kept-site count; carry_out = keep flag at the last
+    live position (XL cross-segment kill chaining)."""
     TRS = SCAN_TILE_ROWS
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
     tflat = _tile_flat_iota()
@@ -607,9 +620,10 @@ def tiled_batch_apply(ids_ref, live_ref, b_ref, zbase, bstar, t_cur):
         return (jnp.where(has, _tile_pick(keep, tflat, fl, -(2 ** 31)), c_k),
                 kept_v)
 
-    st = jax.lax.fori_loop(
-        0, t_cur, body, (jnp.int32(0), jnp.zeros((1, C), jnp.int32)))
-    return st[1]
+    init_k = carry_in if carry_in is not None else jnp.int32(0)
+    init_v = kept0 if kept0 is not None else jnp.zeros((1, C), jnp.int32)
+    st = jax.lax.fori_loop(0, t_cur, body, (init_k, init_v))
+    return st[1], st[0]
 
 
 # ---------------------------------------------------------------------------
@@ -714,10 +728,19 @@ def _compact_inplace(ids_ref, seg_ref, live_ref, a_ref, b_ref, bound, n_live):
     jax.lax.fori_loop(0, t_b, copy_tile, 0)
 
 
-# Compaction cadence: every COMPACT_EVERY rounds, if at least 1/8 of the
-# prefix is dead. Early rounds kill the most tokens, so the check is cheap
-# insurance either way.
-COMPACT_EVERY = 16
+# Compaction cadence: every COMPACT_EVERY accepted merges, if at least
+# 2^-COMPACT_SHIFT of the prefix is dead. With multi-merge batching the
+# count rebuild dominates the round, so keeping the live prefix tight pays
+# for itself quickly: the r5 hardware sweep measured (2, 4) fastest at bench
+# scale (68 ms vs 78 ms at the old (16, 3)). The serial row-stitch inside
+# _compact_inplace scales with R, so very large streams use a milder cadence
+# (set by the driver via the dynamic ctl knobs).
+COMPACT_EVERY = 2
+COMPACT_SHIFT = 4
+# streams larger than this keep the original (16, 3) cadence: the serial
+# row-stitch inside _compact_inplace scales with R, and at multi-M-token
+# sizes cadence 8 measured ~10% SLOWER than 16 (r5 x20 sweep)
+COMPACT_RELAX_N = 1 << 21
 
 
 def _kernel(ids_in, seg_in, live_in, ctl_in, out_ref,
@@ -884,10 +907,21 @@ def _kernel(ids_in, seg_in, live_in, ctl_in, out_ref,
     def select_candidate(counts, maxc, t_cur):
         """Exact reference argmax over the (possibly entry-zeroed) count
         matrix: unique max picked directly; ties resolved by earliest first
-        stream occurrence (minbpe/basic.py:35 + base.py:20-21) via the
-        pay-per-tie serial walk — trip count = ACTUAL tie count, one masked
-        min-reduce over the compacted prefix per tied pair (worst case on
-        adversarial max-tie corpora is documented in STATUS)."""
+        stream occurrence (minbpe/basic.py:35 + base.py:20-21).
+
+        Two tie implementations, picked by the ACTUAL tie count:
+        - pay-per-tie serial walk (n_tied <= TIE_SERIAL_MAX): one masked
+          min-reduce over the compacted prefix per tied pair — ~3 us each,
+          and the bench corpus never exceeds single digits;
+        - fixed-cost matmul membership sweep (n_tied above the threshold —
+          the adversarial maxc==1 tail, where EVERY distinct pair ties and
+          the serial walk would cost n_tied full-stream scans): per tile,
+          Z = one-hot(a) @ tied(int8) followed by an elementwise row-select
+          against one-hot(b) marks the positions whose pair is tied; the
+          earliest such position IS the winner (a pair's first occurrence is
+          its min position). One count-rebuild-equivalent (~0.2-0.4 ms) per
+          tie-heavy round, independent of the tie count — this caps the r4
+          'tie cliff' (VERDICT r4 #7)."""
         tied = counts == maxc
         n_tied = jnp.sum(tied.astype(jnp.int32))
         vi = jax.lax.broadcasted_iota(jnp.int32, (V, V), 0) * V + \
@@ -916,7 +950,46 @@ def _kernel(ids_in, seg_in, live_in, ctl_in, out_ref,
                  jnp.int32(0)))
             return pa, pb
 
-        return jax.lax.cond(n_tied == 1, pick_unique, pick_tied_serial, None)
+        def pick_tied_matmul(_):
+            tied8 = tied.astype(jnp.int8)
+            TRS = SCAN_TILE_ROWS
+            GC = GROUP * TILE_ROWS
+            # slab row r of one_hot_full(t, g0) holds the one-hot of the
+            # tile element at (tile_row = r % TILE_ROWS, lane g0 + r //
+            # TILE_ROWS); its flat stream position follows directly
+            riota = jax.lax.broadcasted_iota(jnp.int32, (GC, 1), 0)
+            slab_pos = (riota % TILE_ROWS) * C + riota // TILE_ROWS
+
+            def body(t, best):
+                at = a_ref[pl.ds(t * TILE_ROWS, TILE_ROWS), :]
+                bt = b_ref[pl.ds(t * TILE_ROWS, TILE_ROWS), :]
+                for g in range(C // GROUP):
+                    A = one_hot_full(at, g * GROUP)        # (GC, V) int8
+                    B = one_hot_full(bt, g * GROUP)
+                    Z = jax.lax.dot_general(
+                        A, tied8, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)  # (GC, V)
+                    w = jnp.sum(Z * B.astype(jnp.int32), axis=1,
+                                keepdims=True)             # (GC, 1)
+                    flat = t * TILE_ELEMS + slab_pos + g * GROUP
+                    best = jnp.minimum(
+                        best, jnp.min(jnp.where(w > 0, flat, INT32_MAX)))
+                return best
+
+            bestp = jax.lax.fori_loop(0, t_cur, body, jnp.int32(INT32_MAX))
+            # read the winning pair at that position (masked reduces)
+            row = jnp.minimum(bestp // C // SCAN_TILE_ROWS, T - 1)
+            tl = pl.ds(row * SCAN_TILE_ROWS, SCAN_TILE_ROWS)
+            fl = _tile_flat_iota() + row * SCAN_TILE_ROWS * C
+            pa = jnp.max(jnp.where(fl == bestp, a_ref[tl, :], -(2 ** 31)))
+            pb = jnp.max(jnp.where(fl == bestp, b_ref[tl, :], -(2 ** 31)))
+            return pa, pb
+
+        def pick_tied(_):
+            return jax.lax.cond(n_tied <= TIE_SERIAL_MAX, pick_tied_serial,
+                                pick_tied_matmul, None)
+
+        return jax.lax.cond(n_tied == 1, pick_unique, pick_tied, None)
 
     def _active_round(i, fail, n_live, bound, lc):
         """One count rebuild + as many accepted merges as it proves.
@@ -1003,12 +1076,13 @@ def _kernel(ids_in, seg_in, live_in, ctl_in, out_ref,
             def bm(_):
                 pas = [vget(pa_v, j) for j in range(K_CAP)]
                 pbs = [vget(pb_v, j) for j in range(K_CAP)]
-                acc_l = tiled_batch_mark(ids_ref, seg_ref, live_ref, a_ref,
-                                         b_ref, pas, pbs, bsel, zbase, t_cur)
+                acc_l, _ = tiled_batch_mark(
+                    ids_ref, seg_ref, live_ref, a_ref, b_ref, pas, pbs,
+                    bsel, zbase, t_cur)
                 if phases == "mark":
                     return jnp.max(acc_l)
-                acc_r = tiled_batch_hist_rev(ids_ref, seg_ref, live_ref,
-                                             a_ref, b_ref, zbase, t_cur)
+                acc_r, _ = tiled_batch_hist_rev(
+                    ids_ref, seg_ref, live_ref, a_ref, b_ref, zbase, t_cur)
                 return jnp.max(acc_l) + jnp.max(acc_r)
 
             v = jax.lax.cond(bsel >= 2, bm, lambda _: jnp.int32(0), None)
@@ -1041,10 +1115,10 @@ def _kernel(ids_in, seg_in, live_in, ctl_in, out_ref,
         def batch(_):
             pas = [vget(pa_v, j) for j in range(K_CAP)]
             pbs = [vget(pb_v, j) for j in range(K_CAP)]
-            acc_l = tiled_batch_mark(ids_ref, seg_ref, live_ref, a_ref,
-                                     b_ref, pas, pbs, bsel, zbase, t_cur)
-            acc_r = tiled_batch_hist_rev(ids_ref, seg_ref, live_ref, a_ref,
-                                         b_ref, zbase, t_cur)
+            acc_l, _ = tiled_batch_mark(ids_ref, seg_ref, live_ref, a_ref,
+                                        b_ref, pas, pbs, bsel, zbase, t_cur)
+            acc_r, _ = tiled_batch_hist_rev(ids_ref, seg_ref, live_ref,
+                                            a_ref, b_ref, zbase, t_cur)
             hcol = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
             cm = [jnp.maximum(
                 jnp.max(jnp.where(hcol == j, acc_l, 0)),
@@ -1059,8 +1133,8 @@ def _kernel(ids_in, seg_in, live_in, ctl_in, out_ref,
                 bstar = jnp.where(ok_k, k + 1, bstar)
                 bnd = jnp.where(ok_k, jnp.maximum(bnd, cm[k]), bnd)
             bstar = jnp.minimum(bstar, m_eff - i)
-            kept_v = tiled_batch_apply(ids_ref, live_ref, b_ref, zbase,
-                                       bstar, t_cur)
+            kept_v, _ = tiled_batch_apply(ids_ref, live_ref, b_ref, zbase,
+                                          bstar, t_cur)
             tot = jnp.int32(0)
             for j in range(K_CAP):
                 kj = jnp.max(jnp.where(lane1 == j, kept_v, 0))
@@ -1210,24 +1284,52 @@ def train_merges_fused(ids, seg, n, num_merges: int, interpret: bool = False):
                               interpret)
 
 
+@functools.partial(jax.jit, static_argnames=("R", "V", "Mp", "u16",
+                                             "interpret"))
+def _run_single_bytes(data, ends, ctl, R: int, V: int, Mp: int, u16: bool,
+                      interpret: bool = False):
+    """Plane build + whole-training kernel as ONE jitted program, so a
+    host-side call is a single dispatch: host->device transfer of the raw
+    bytes rides the dispatch instead of two separate blocking device_puts —
+    on the tunneled backend each blocking transfer is a ~25 ms round trip,
+    which used to cost more than the entire training kernel."""
+    n = ctl[1, 0]
+    if u16:
+        ids2, seg2, live2 = _prep_from_bytes_u16(data, ends, n, R)
+    else:
+        ids2, seg2, live2 = _prep_from_bytes(data, ends, n, R)
+    return _run_single(ids2, seg2, live2, ctl, R, V, Mp, interpret)
+
+
 def train_merges_fused_bytes(data, ends, n, num_merges: int,
                              interpret: bool = False):
     """Same contract as train_merges_fused, fed by raw corpus bytes + chunk
-    boundaries (both already on device or cheap to ship): the working planes
-    are built on device, cutting wire traffic ~4x on tunneled backends.
+    boundaries: the working planes are built on device, cutting wire traffic
+    ~4x on tunneled backends, and the whole call is ONE dispatch + ONE fetch
+    (host numpy args transfer as part of the dispatch).
     ``ends``: int32 end offsets, or uint16 chunk lengths (half the wire)."""
     import numpy as np
 
+    M = num_merges
+    if M == 0:
+        return (np.zeros((0, 2), np.int32), np.zeros((0,), np.int32), 0)
     R = _rows_for(data.shape[0])
-    ends = jnp.asarray(ends)
-    if ends.dtype == jnp.uint16:
-        ids2, seg2, live2 = _prep_from_bytes_u16(
-            jnp.asarray(data), ends, jnp.asarray(n), R)
-    else:
-        ids2, seg2, live2 = _prep_from_bytes(
-            jnp.asarray(data), ends, jnp.asarray(n), R)
-    return _train_from_planes(ids2, seg2, live2, int(n), num_merges,
-                              interpret)
+    V = _vocab_width(M)
+    Mp = _mp_bucket(M)
+    u16 = np.asarray(ends).dtype == np.uint16
+    ctl = np.zeros((8, C), np.int32)
+    ctl[0, 0] = M
+    ctl[1, 0] = int(n)
+    ctl[3, 0] = M
+    relax = data.shape[0] > COMPACT_RELAX_N
+    ctl[4, 0] = 16 if relax else COMPACT_EVERY
+    ctl[5, 0] = 3 if relax else COMPACT_SHIFT
+    out = _run_single_bytes(data, ends, ctl, R, V, Mp, u16, interpret)
+    out_h = np.asarray(out)  # the one sync point of the whole training run
+    global LAST_REBUILDS
+    LAST_REBUILDS = int(out_h[M, 1])
+    return (out_h[:M, 0:2].copy(), out_h[:M, 2].copy(),
+            min(int(out_h[M, 0]), M))
 
 
 def _train_from_planes(ids2, seg2, live2, n: int, num_merges: int,
@@ -1240,9 +1342,11 @@ def _train_from_planes(ids2, seg2, live2, n: int, num_merges: int,
     R = ids2.shape[0]
     V = _vocab_width(M)
     Mp = _mp_bucket(M)
+    relax = R * C > COMPACT_RELAX_N
     ctl = (jnp.zeros((8, C), jnp.int32)
            .at[0, 0].set(M).at[1, 0].set(n).at[3, 0].set(M)
-           .at[4, 0].set(COMPACT_EVERY))
+           .at[4, 0].set(16 if relax else COMPACT_EVERY)
+           .at[5, 0].set(3 if relax else COMPACT_SHIFT))
     out = _run_single(ids2, seg2, live2, ctl, R, V, Mp, interpret)
     out_h = np.asarray(out)  # the one sync point of the whole training run
     global LAST_REBUILDS

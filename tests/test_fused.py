@@ -237,3 +237,27 @@ def test_batch_random_midsize(seed):
         n = rng.randint(1, 30)
         chunks.append(bytes(rng.randint(0, 9) for _ in range(n)))
     _cmp(chunks, rng.randint(12, 40))
+
+
+def test_tie_cliff_matmul_fallback():
+    """maxc==1 corpus where EVERY pair ties (> TIE_SERIAL_MAX distinct
+    pairs): selection must route through the fixed-cost matmul membership
+    sweep and still match the oracle exactly (earliest-first-occurrence
+    winner)."""
+    import minbpe_tpu.ops.pallas.fused_train as ft
+
+    # 2-byte chunks, each a distinct pair => every pair has count 1
+    pairs = [(a, b) for a in range(3, 23) for b in range(30, 40)]
+    assert len(pairs) > ft.TIE_SERIAL_MAX
+    chunks = [bytes(p) for p in pairs]
+    _cmp(chunks, 5)
+
+
+def test_tie_cliff_fallback_mid_training():
+    """Counts collapse to the all-tied tail mid-run (serial walk early,
+    matmul fallback late in the same launch)."""
+    rng = random.Random(21)
+    chunks = [b"zz"] * 10 + [bytes((a, b)) for a in range(3, 19)
+                             for b in range(30, 38)]
+    rng.shuffle(chunks)
+    _cmp(chunks, 8)

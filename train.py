@@ -29,6 +29,13 @@ def main():
                     help="resume from the checkpoint in --outdir")
     ap.add_argument("--profile-dir", default=None,
                     help="write a jax profiler trace here")
+    ap.add_argument("--distributed", action="store_true",
+                    help="train over the full device mesh "
+                    "(parallel/train.py; supports --checkpoint-every/"
+                    "--resume via the stepped distributed trainer)")
+    ap.add_argument("--selection", default="dense",
+                    choices=["dense", "sparse", "owner"],
+                    help="distributed selection mode")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args()
 
@@ -47,6 +54,29 @@ def main():
             raise SystemExit(f"unknown tokenizer {name!r}")
         opts = {"select_mode": args.select_mode}
         ck = os.path.join(args.outdir, f"{name}.ckpt.npz")
+        if args.distributed:
+            from minbpe_tpu.parallel.train import (
+                train_bytes_distributed, train_chunks_distributed,
+            )
+
+            t1 = time.time()
+            if name == "basic":
+                tok.merges, tok.vocab = train_bytes_distributed(
+                    text.encode("utf-8"), args.vocab_size - 256,
+                    verbose=not args.quiet)
+            else:
+                tok.merges, tok.vocab = train_chunks_distributed(
+                    tok._split_chunks(text), args.vocab_size - 256,
+                    verbose=not args.quiet, selection=args.selection,
+                    checkpoint_path=ck if args.checkpoint_every else None,
+                    checkpoint_every=args.checkpoint_every,
+                    resume_from=ck if args.resume and os.path.exists(ck)
+                    else None)
+            tok._invalidate_device_state()
+            print(f"{name}: trained vocab {args.vocab_size} distributed in "
+                  f"{time.time()-t1:.2f}s")
+            tok.save(os.path.join(args.outdir, name))
+            continue
         # checkpoints need a host-stepped loop; dense counting caps at
         # DENSE_SELECT_MAX vocab, above that the sort-round loop takes over
         from minbpe_tpu.ops.train import DENSE_SELECT_MAX
