@@ -52,3 +52,23 @@ def corpus_text() -> str:
     if not CORPUS.exists():
         pytest.skip("reference corpus not available")
     return CORPUS.read_text(encoding="utf-8")
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_between_modules():
+    """Free compiled executables between test modules.
+
+    The suite compiles several hundred XLA programs in one process (pallas
+    interpret-mode kernels are large); with everything cached for the whole
+    session the CPU backend's compiler eventually segfaults deep inside
+    backend_compile_and_load (reproducible at the same test with a full-
+    suite prefix, absent for any subset). Dropping caches at module
+    boundaries keeps peak compiler state bounded; within-module sharing —
+    where almost all reuse lives — is unaffected."""
+    yield
+    try:
+        import jax
+
+        jax.clear_caches()
+    except Exception:
+        pass
