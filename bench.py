@@ -143,6 +143,22 @@ def main():
     assert out_b[3] == rtok.encode(docs_for(text)[3])
     docs_per_s = round(n_docs / t_batch, 1)
 
+    # sweet-spot batch: hundreds of docs / multi-MB payload, where the
+    # per-call fixed costs (tunnel RTT + compile-free dispatch) amortize
+    nb_docs, nb_L = 512, len(text) // 48
+    big = [variant(text, 20 + k) for k in range(3)]
+
+    def big_docs(t):
+        return [t[(i * 37) % (len(t) - nb_L):][:nb_L] for i in range(nb_docs)]
+
+    rtok.encode_batch(big_docs(variant(text, 19)))  # warm size bucket
+    t_bigb, out_bb = timed("encode_batch x512", rtok.encode_batch,
+                           [big_docs(t) for t in big])
+    assert out_bb[5] == rtok.encode(big_docs(big[0])[5])
+    big_mb = sum(len(d.encode("utf-8")) for d in big_docs(big[0])) / 1e6
+    big_docs_per_s = round(nb_docs / t_bigb, 1)
+    big_mbps = round(big_mb / t_bigb, 3)
+
     def row(name, secs):
         v = MB / secs
         return {"metric": f"{name}_MBps_vocab512_taylorswift",
@@ -156,7 +172,11 @@ def main():
                      row("decode", t_dec),
                      {"metric": "encode_batch_docs_per_s_vocab512",
                       "value": docs_per_s, "unit": "docs/s",
-                      "n_docs": n_docs, "doc_bytes": L}]
+                      "n_docs": n_docs, "doc_bytes": L},
+                     {"metric": "encode_batch_sweetspot_MBps_vocab512",
+                      "value": big_mbps, "unit": "MB/s",
+                      "docs_per_s": big_docs_per_s, "n_docs": nb_docs,
+                      "batch_MB": round(big_mb, 2)}]
     head["warmup_s"] = round(warmup_s, 2)
     print(json.dumps(head))
 

@@ -44,8 +44,17 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
+    import jax.numpy as jnp
+
     from minbpe_tpu import RegexTokenizer
-    from minbpe_tpu.parallel.train import make_mesh, train_chunks_distributed
+    from minbpe_tpu.parallel.train import (
+        _finish_train, build_distributed_train, make_mesh, shard_chunks,
+    )
 
     text = open(args.corpus, encoding="utf-8").read() * args.reps
     mb = len(text.encode("utf-8")) / 1e6
@@ -58,16 +67,26 @@ def main():
     else:
         sizes = [d for d in (1, 2, 4, 8, 16, 32) if d <= ndev]
 
+    def run_once(fn, ids, seg, lens):
+        pairs, counts, fail, oflow = fn(
+            jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(lens))
+        return _finish_train(pairs, counts, fail, num_merges, False, oflow)
+
     base = None
     reference = None
     for d in sizes:
         mesh = make_mesh(d)
-        # compile + warm
+        ids, seg, lens = shard_chunks(chunks, d)
+        # build ONCE per mesh: rebuilding the jit per call would re-trace
+        # (and without the persistent cache, recompile) the whole program —
+        # the r5 mesh=1 run initially measured 56 s/call of pure recompile
+        fn = build_distributed_train(mesh, num_merges,
+                                     256 + num_merges, ids.shape[0] // d)
         t0 = time.time()
-        merges, _ = train_chunks_distributed(chunks, num_merges, mesh)
+        merges, _ = run_once(fn, ids, seg, lens)
         warm = time.time() - t0
         t0 = time.time()
-        merges2, _ = train_chunks_distributed(chunks, num_merges, mesh)
+        merges2, _ = run_once(fn, ids, seg, lens)
         dt = time.time() - t0
         if reference is None:
             reference = merges

@@ -29,7 +29,7 @@ from ..ops.encode import RANK_INF
 from ..ops.merge import apply_merge
 from ..ops.select import pair_validity
 from ..ops.stream import PAD
-from .train import _varying, make_mesh, shard_chunks
+from .train import _nomesh, _varying, make_mesh, shard_chunks
 
 
 def _encode_shard(ids, seg, n, rank_table, merge_pairs, merge_ids):
@@ -84,11 +84,14 @@ def build_distributed_encode(mesh: Mesh, shard_capacity: int):
         idx = jnp.arange(Nl, dtype=jnp.int32)
         return jnp.where(idx < out_n, out_ids, PAD), out_n[None]
 
-    mapped = shard_map(
-        shard_body, mesh=mesh,
-        in_specs=(P("data"), P("data"), P("data"), P(), P(), P()),
-        out_specs=(P("data"), P("data")),
-    )
+    if mesh.devices.size == 1:
+        mapped = _nomesh(shard_body, (0, 0, 0, None, None, None))
+    else:
+        mapped = shard_map(
+            shard_body, mesh=mesh,
+            in_specs=(P("data"), P("data"), P("data"), P(), P(), P()),
+            out_specs=(P("data"), P("data")),
+        )
     return jax.jit(mapped)
 
 

@@ -135,11 +135,37 @@ def _dense_counts(a, b, pair_ok, V, mxu: bool):
 
 def _varying(x):
     """Mark a per-shard-computed value as varying over the data axis
-    (idempotent: no-op when it already is)."""
+    (idempotent: no-op when it already is; also a no-op under the vmap
+    emulation _nomesh uses for 1-device meshes, where pcast is unsupported
+    but everything is trivially 'varying')."""
     try:
         return jax.lax.pcast(x, ("data",), to="varying")
-    except ValueError:
+    except Exception:
         return x
+
+
+def _nomesh(f, in_axes=0):
+    """Run a shard_map body as a 1-shard program via vmap(axis_name="data").
+
+    At D == 1 every collective is an identity, but shard_map's
+    manual-sharding lowering is not free: the full round body measured
+    ~230 ms/round on a real chip where the same stages jitted plainly cost
+    < 1 ms (scripts/scratch/probe_r5_dist1.py). vmap with an axis name
+    gives the collectives a size-1 axis to reduce over and otherwise
+    compiles as ordinary XLA. Sharded args get a leading length-1 axis;
+    outputs drop it (matching shard_map's P(\"data\") concatenation)."""
+    vf = jax.vmap(f, in_axes=in_axes, axis_name="data")
+
+    def run(*args):
+        axes = in_axes if isinstance(in_axes, (tuple, list)) \
+            else (in_axes,) * len(args)
+        vargs = [
+            jnp.asarray(a)[None] if ax == 0 else a
+            for a, ax in zip(args, axes)
+        ]
+        return jax.tree.map(lambda x: x[0], vf(*vargs))
+
+    return run
 
 
 def _halo_exchange(ids, seg, live, n_shards):
@@ -408,9 +434,7 @@ def _apply_round(ids, live, a, b, pa, pb, new_id, d, D, idx):
         carry = jnp.where(carry, co1g[dd], co0g[dd])
         return carry, mine
 
-    init = jax.lax.pcast(
-        (jnp.bool_(False), jnp.bool_(False)), ("data",), to="varying",
-    )
+    init = _varying((jnp.bool_(False), jnp.bool_(False)))
     _, carry_in = jax.lax.fori_loop(0, D, carry_step, init)
     keep = jnp.where(carry_in, keep1, keep0)
     new_ids = jnp.where(keep, new_id, ids)
@@ -504,11 +528,20 @@ def build_distributed_train(mesh: Mesh, num_merges: int, vocab_size: int,
             0, M, body, state)
         return pairs[None], counts[None], fail[None], oflow[None]
 
-    mapped = shard_map(
-        shard_body, mesh=mesh,
-        in_specs=(P("data"), P("data"), P("data")),
-        out_specs=(P("data"), P("data"), P("data"), P("data")),
-    )
+    if D == 1:
+        # single-device mesh: run the identical round body WITHOUT
+        # shard_map. All collectives are identities at D == 1, and the
+        # manual-sharding lowering itself measured ~230 ms/round on a real
+        # chip where the same stages jitted plainly cost < 1 ms
+        # (scripts/scratch/probe_r5_dist1.py; SCALING_r05 attribution) —
+        # the VERDICT r4 #3 "skip collectives when D == 1" win.
+        mapped = _nomesh(shard_body)
+    else:
+        mapped = shard_map(
+            shard_body, mesh=mesh,
+            in_specs=(P("data"), P("data"), P("data")),
+            out_specs=(P("data"), P("data"), P("data"), P("data")),
+        )
 
     def train(ids, seg, lens):
         pairs, counts, fail, oflow = mapped(ids, seg, lens)
@@ -582,12 +615,15 @@ def build_distributed_train_stepped(mesh: Mesh, vocab_size: int,
             0, KR, body, state)
         return ids, live, pairs[None], counts[None], fail[None], oflow[None]
 
-    mapped = shard_map(
-        shard_body, mesh=mesh,
-        in_specs=(P("data"), P("data"), P("data"), P(), P(), P()),
-        out_specs=(P("data"), P("data"), P("data"), P("data"), P("data"),
-                   P("data")),
-    )
+    if D == 1:
+        mapped = _nomesh(shard_body, (0, 0, 0, None, None, None))
+    else:
+        mapped = shard_map(
+            shard_body, mesh=mesh,
+            in_specs=(P("data"), P("data"), P("data"), P(), P(), P()),
+            out_specs=(P("data"), P("data"), P("data"), P("data"),
+                       P("data"), P("data")),
+        )
 
     def step(ids, seg, live, r0, fail, oflow):
         ids, live, pairs, counts, fail, oflow = mapped(
@@ -633,11 +669,14 @@ def build_distributed_replay(mesh: Mesh, shard_capacity: int,
         ids, live = jax.lax.fori_loop(0, KR, body, (ids, live))
         return ids, live
 
-    mapped = shard_map(
-        shard_body, mesh=mesh,
-        in_specs=(P("data"), P("data"), P("data"), P(), P(), P()),
-        out_specs=(P("data"), P("data")),
-    )
+    if D == 1:
+        mapped = _nomesh(shard_body, (0, 0, 0, None, None, None))
+    else:
+        mapped = shard_map(
+            shard_body, mesh=mesh,
+            in_specs=(P("data"), P("data"), P("data"), P(), P(), P()),
+            out_specs=(P("data"), P("data")),
+        )
 
     def replay(ids, seg, live, r0, pairs, m_valid):
         return mapped(ids, seg, live, jnp.asarray([r0], jnp.int32),
