@@ -367,11 +367,18 @@ def tiled_mask_dead(ids_ref, live_ref, T):
 # exact multi-merge batching (one count rebuild amortized over several merges)
 #
 # After one count rebuild, candidates are taken in exact reference order
-# (count desc, earliest-first-occurrence tie-break) while they are pairwise
-# token-DISJOINT and heterogeneous (pa != pb).  Applying a merge only creates
-# pairs that contain its new id z_j (every other adjacency is untouched), and
-# disjointness means an accepted candidate's count and first-occurrence order
-# are exactly what the rebuilt matrix says.  So candidate k is provably still
+# (count desc, earliest-first-occurrence tie-break) while heterogeneous
+# (pa != pb) and free of CROSS-side token shares: candidate q is accepted
+# only if no earlier accepted merge can consume q's left token (qa != every
+# accepted pb) or replace q's right token (qb != every accepted pa).
+# Applying a merge only creates pairs that contain its new id z_j (every
+# other adjacency is untouched); same-side shares (qa equal to an accepted
+# pa, or qb to an accepted pb) cannot touch q's occurrences — site starts
+# are REPLACED, so no (pa_m, w) occurrence can start at a site, and a
+# consumed token only ever pairs with its own site start — so an accepted
+# candidate's count and first-occurrence order are exactly what the rebuilt
+# matrix says, and accepted candidates' match sites remain pairwise
+# non-overlapping.  So candidate k is provably still
 # the true argmax of the stream-after-k-1-merges iff its count strictly
 # exceeds the count of every pair created by merges 0..k-1.  Those creation
 # counts are bounded EXACTLY and pre-apply: the joint site map is known (for
@@ -388,7 +395,7 @@ def tiled_mask_dead(ids_ref, live_ref, T):
 # and checks bit-equality against the sequential reference loop).
 # ---------------------------------------------------------------------------
 
-K_CAP = 8  # max merges accepted per count rebuild
+K_CAP = 16  # max merges accepted per count rebuild
 
 # Above this many tied pairs the serial pay-per-tie walk (one full-stream
 # masked reduce per tied pair) gives way to the fixed-cost matmul membership
@@ -1037,9 +1044,19 @@ def _kernel(ids_in, seg_in, live_in, ctl_in, out_ref,
             def run(_):
                 maxc = jnp.max(cnts)
                 pa, pb = select_candidate(cnts, maxc, t_cur)
+                # CROSS-side shares only (r5 refinement): a candidate is
+                # invalidated only when its LEFT token can be consumed
+                # (qa == some accepted pb) or its RIGHT token replaced
+                # (qb == some accepted pa). SAME-side shares — qa equal to
+                # an accepted pa, or qb to an accepted pb — leave its
+                # count, occurrences, and first-occurrence order provably
+                # untouched: site starts are replaced (so no (pa_m, w)
+                # occurrence can sit at a site) and consumed tokens only
+                # ever pair with their own site start. Measured: B 3.2 ->
+                # ~5-6 merges/rebuild, bit-exact vs the sequential
+                # reference in simulation and the oracle suites.
                 shares = jnp.max(jnp.where(
-                    (lane1 < bsel) & ((pa_v == pa) | (pa_v == pb) |
-                                      (pb_v == pa) | (pb_v == pb)),
+                    (lane1 < bsel) & ((pa_v == pb) | (pb_v == pa)),
                     1, 0)) > 0
                 hom0 = vget(pa_v, 0) == vget(pb_v, 0)
                 ok = (maxc > 0) & ((j == 0) |

@@ -702,9 +702,10 @@ def _train_xl(ids2, seg2, live2, bounds0, segl0, ctl, S: int, Rs: int,
                 pa, pb = jax.lax.cond(
                     (n_tied == 1) | (maxc == 0),
                     lambda _: (flat // V, flat % V), pick_tie, None)
+                # cross-side shares only — see fused_train.py's batching
+                # block comment for the proof
                 shares = jnp.any((kj < bsel) &
-                                 ((pa_v == pa) | (pa_v == pb) |
-                                  (pb_v == pa) | (pb_v == pb)))
+                                 ((pa_v == pb) | (pb_v == pa)))
                 hom0 = pa_v[0] == pb_v[0]
                 ok = (maxc > 0) & ((j == 0) |
                                    ((~shares) & (pa != pb) & (~hom0)))

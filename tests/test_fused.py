@@ -261,3 +261,42 @@ def test_tie_cliff_fallback_mid_training():
                              for b in range(30, 38)]
     rng.shuffle(chunks)
     _cmp(chunks, 8)
+
+
+def test_batch_same_side_shares():
+    """Same-side token shares — (a,b) then (a,c): the second candidate's
+    left token equals an accepted LEFT token — are provably harmless and
+    must batch together; cross-side chains like (t,h) then (h,e) must still
+    stop the batch. Oracle-exactness is the arbiter."""
+    rng = random.Random(31)
+    chunks = []
+    for _ in range(700):
+        parts = []
+        if rng.random() < 0.9:
+            parts.append(b"ab")
+        if rng.random() < 0.7:
+            parts.append(b"ac")   # same-side with (a,b)
+        if rng.random() < 0.5:
+            parts.append(b"ad")   # same-side again
+        if rng.random() < 0.35:
+            parts.append(b"the")  # cross-side chain material
+        parts.append(bytes([rng.randint(100, 255)]))
+        chunks.append(b"".join(parts))
+    _cmp(chunks, 30)
+
+
+def test_batch_shared_right_tokens():
+    """(b,x) then (c,x): right tokens shared — same-side on the right."""
+    rng = random.Random(32)
+    chunks = []
+    for _ in range(600):
+        parts = []
+        if rng.random() < 0.85:
+            parts.append(b"bx")
+        if rng.random() < 0.6:
+            parts.append(b"cx")
+        if rng.random() < 0.4:
+            parts.append(b"dx")
+        parts.append(bytes([rng.randint(100, 255)]))
+        chunks.append(b"".join(parts))
+    _cmp(chunks, 24)
