@@ -244,6 +244,10 @@ def _prep_bytes_any(data, ends, n, R):
     """Planes from bytes + boundaries; uint16 arrays are chunk LENGTHS
     (half the wire of int32 end offsets — see engine._pack_raw)."""
     ends = jnp.asarray(ends)
+    if ends.dtype == jnp.uint8:
+        from .fused_train import _prep_from_bits
+
+        return _prep_from_bits(jnp.asarray(data), ends, jnp.asarray(n), R)
     if ends.dtype == jnp.uint16:
         return _prep_from_bytes_u16(jnp.asarray(data), ends,
                                     jnp.asarray(n), R)

@@ -1232,6 +1232,41 @@ def _prep_from_bytes_u16(data, lens, n, R: int):
 
 
 @functools.partial(jax.jit, static_argnames=("R",))
+def _prep_from_bits(data, packed, n, R: int):
+    """_prep_from_bytes fed by a boundary BITMASK: bit p (MSB-first, numpy
+    packbits order) set iff a chunk ends at offset p + 1 — 1 bit per corpus
+    byte on the wire (~6x less than uint16 lengths at ~3-byte GPT chunks)
+    and no chunk-length limit at all. seg[i] = #(ends <= i) = the exclusive
+    cumsum of the bit at i - 1, matching _prep_from_bytes exactly."""
+    N = R * C
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.int32)
+    bits = (packed.astype(jnp.int32)[:, None] >> shifts[None, :]) & 1
+    marks = bits.reshape(-1)[:N]
+    seg_inc = jnp.cumsum(marks)
+    seg = jnp.concatenate([jnp.zeros((1,), jnp.int32), seg_inc[:-1]])
+    iota = jnp.arange(N, dtype=jnp.int32)
+    pad = N - data.shape[0]
+    d = jnp.pad(data.astype(jnp.int32), (0, pad))
+    live = iota < n
+    ids2 = jnp.where(live, d, -1)
+    seg2 = jnp.where(live, seg, -2)
+    return (ids2.reshape(R, C), seg2.reshape(R, C),
+            live.astype(jnp.int32).reshape(R, C))
+
+
+def prep_from_boundaries(data, ends, n, R: int):
+    """Dispatch plane building on the boundary encoding: uint8 = packed
+    boundary bitmask, uint16 = chunk lengths, else int32 end offsets."""
+    ends = jnp.asarray(ends)
+    if ends.dtype == jnp.uint8:
+        return _prep_from_bits(jnp.asarray(data), ends, jnp.asarray(n), R)
+    if ends.dtype == jnp.uint16:
+        return _prep_from_bytes_u16(jnp.asarray(data), ends,
+                                    jnp.asarray(n), R)
+    return _prep_from_bytes(jnp.asarray(data), ends, jnp.asarray(n), R)
+
+
+@functools.partial(jax.jit, static_argnames=("R",))
 def _prep_planes(ids, seg, n, R: int):
     """Pad/reshape a flat packed stream into (R, C) working planes."""
     N = ids.shape[0]
@@ -1301,9 +1336,9 @@ def train_merges_fused(ids, seg, n, num_merges: int, interpret: bool = False):
                               interpret)
 
 
-@functools.partial(jax.jit, static_argnames=("R", "V", "Mp", "u16",
+@functools.partial(jax.jit, static_argnames=("R", "V", "Mp", "mode",
                                              "interpret"))
-def _run_single_bytes(data, ends, ctl, R: int, V: int, Mp: int, u16: bool,
+def _run_single_bytes(data, ends, ctl, R: int, V: int, Mp: int, mode: str,
                       interpret: bool = False):
     """Plane build + whole-training kernel as ONE jitted program, so a
     host-side call is a single dispatch: host->device transfer of the raw
@@ -1311,7 +1346,9 @@ def _run_single_bytes(data, ends, ctl, R: int, V: int, Mp: int, u16: bool,
     on the tunneled backend each blocking transfer is a ~25 ms round trip,
     which used to cost more than the entire training kernel."""
     n = ctl[1, 0]
-    if u16:
+    if mode == "bits":
+        ids2, seg2, live2 = _prep_from_bits(data, ends, n, R)
+    elif mode == "u16":
         ids2, seg2, live2 = _prep_from_bytes_u16(data, ends, n, R)
     else:
         ids2, seg2, live2 = _prep_from_bytes(data, ends, n, R)
@@ -1324,7 +1361,8 @@ def train_merges_fused_bytes(data, ends, n, num_merges: int,
     boundaries: the working planes are built on device, cutting wire traffic
     ~4x on tunneled backends, and the whole call is ONE dispatch + ONE fetch
     (host numpy args transfer as part of the dispatch).
-    ``ends``: int32 end offsets, or uint16 chunk lengths (half the wire)."""
+    ``ends``: uint8 packed boundary bitmask (1 bit/corpus byte, the
+    default), uint16 chunk lengths, or int32 end offsets."""
     import numpy as np
 
     M = num_merges
@@ -1333,7 +1371,9 @@ def train_merges_fused_bytes(data, ends, n, num_merges: int,
     R = _rows_for(data.shape[0])
     V = _vocab_width(M)
     Mp = _mp_bucket(M)
-    u16 = np.asarray(ends).dtype == np.uint16
+    edt = np.asarray(ends).dtype
+    mode = "bits" if edt == np.uint8 else \
+        ("u16" if edt == np.uint16 else "i32")
     ctl = np.zeros((8, C), np.int32)
     ctl[0, 0] = M
     ctl[1, 0] = int(n)
@@ -1341,7 +1381,7 @@ def train_merges_fused_bytes(data, ends, n, num_merges: int,
     relax = data.shape[0] > COMPACT_RELAX_N
     ctl[4, 0] = 16 if relax else COMPACT_EVERY
     ctl[5, 0] = 3 if relax else COMPACT_SHIFT
-    out = _run_single_bytes(data, ends, ctl, R, V, Mp, u16, interpret)
+    out = _run_single_bytes(data, ends, ctl, R, V, Mp, mode, interpret)
     out_h = np.asarray(out)  # the one sync point of the whole training run
     global LAST_REBUILDS
     LAST_REBUILDS = int(out_h[M, 1])

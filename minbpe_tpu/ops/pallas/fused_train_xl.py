@@ -818,13 +818,10 @@ def train_merges_fused_xl(data, ends, n, num_merges: int,
     cap = S * st
     d = np.zeros(cap, dtype=np.uint8)
     d[:data.shape[0]] = np.asarray(data)
-    ends = jnp.asarray(ends)
-    if ends.dtype == jnp.uint16:
-        ids2, seg2, live2 = _prep_from_bytes_u16(
-            jnp.asarray(d), ends, jnp.int32(n), S * Rs)
-    else:
-        ids2, seg2, live2 = _prep_from_bytes(
-            jnp.asarray(d), ends, jnp.int32(n), S * Rs)
+    from .fused_train import prep_from_boundaries
+
+    ids2, seg2, live2 = prep_from_boundaries(jnp.asarray(d), ends,
+                                             jnp.int32(n), S * Rs)
     segl = np.zeros((1, C), np.int32)
     for k in range(S):
         segl[0, k] = min(st, max(0, n - k * st))
