@@ -99,3 +99,34 @@ def test_segment_boundary_inside_chunk():
     boundaries (segments are a memory layout, NOT chunk boundaries)."""
     text = open("/root/reference/tests/taylorswift.txt", "rb").read()[:40000]
     _check([text], 24)  # one chunk, 3 segments
+
+
+def test_batch_sites_straddle_segments():
+    """Batch-heavy corpus laid out so candidate sites fall exactly on
+    segment boundaries (site start = last token of a segment, consumed
+    token = first of the next): exercises the mark/hist/apply cross-segment
+    carries of the r5 batching port, plus same-side-share batches spanning
+    boundaries."""
+    import random
+
+    rng = random.Random(41)
+    words = [b"ab", b"ac", b"ad", b"bx", b"cx", b"th", b"he"]
+    parts = []
+    total = 0
+    while total < 3 * SEG + 1000:   # 4 segments, sites everywhere
+        w = words[rng.randrange(len(words))]
+        parts.append(w + bytes([rng.randint(128, 255)]))
+        total += len(parts[-1])
+    _check(parts, 40)
+
+
+def test_batch_hot_pair_at_every_boundary():
+    """A single dominant pair placed to cover every segment edge."""
+    filler = bytes(range(128, 200))
+    seg_fill = filler * (SEG // len(filler))
+    parts = []
+    for k in range(3):
+        parts.append(seg_fill[: SEG - 1 - (k % 2)])
+        parts.append(b"qz" * 40)    # hot sites right at the boundary
+    parts.append(b"qz" * 200)
+    _check(parts, 12)
