@@ -455,9 +455,9 @@ def tiled_batch_mark(ids_ref, seg_ref, live_ref, a_ref, b_ref,
     """Batch pass 1 (forward): candidate-site plane, final-id plane, and the
     left-creation histogram.
 
-    cand[p] = index of the candidate matching at p (-1 otherwise; matches of
-    heterogeneous disjoint candidates never overlap, so every match is a kept
-    site). F[p] = the id token p carries after the whole batch applies: z_j
+    cand[p] = index of the candidate matching at p (-1 otherwise; matches
+    of heterogeneous cross-side-free candidates never overlap — see the
+    batching block comment — so every match is a kept site). F[p] = the id token p carries after the whole batch applies: z_j
     at site starts, z_j of the covering site at consumed tokens, unchanged
     otherwise.  Writes F into a_ref and cand into b_ref (the rebuild-time
     adjacency is not needed again this round).  Accumulates
@@ -599,8 +599,9 @@ def tiled_batch_apply(ids_ref, live_ref, b_ref, zbase, bstar, t_cur,
     candidate index (b_ref, from tiled_batch_mark) is < bstar becomes its
     merge's new id; the consumed next-live token is killed via the same
     previous-live-was-kept rule as the single-merge apply
-    (minbpe/base.py:25-41 — overlap parity is vacuous here: batch candidates
-    are heterogeneous and token-disjoint, so matches can never overlap).
+    (minbpe/base.py:25-41 — overlap parity is vacuous here: batch
+    candidates are heterogeneous and cross-side-free, so matches can never
+    overlap).
     Returns (kept_v, carry_out): kept_v is a (1, C) vector whose lane j
     holds candidate j's kept-site count; carry_out = keep flag at the last
     live position (XL cross-segment kill chaining)."""

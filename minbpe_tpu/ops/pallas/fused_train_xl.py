@@ -331,7 +331,9 @@ def _mark_kernel(ids_in, seg_in, live_in, a_in, b_in, cands_in, bounds_in,
                  accl_ref, carry_ref, sems,
                  *, S: int, Rs: int):
     """XL batch pass 1 (grid forward): candidate/final-id planes + the
-    left-creation histogram, cross-segment carries in persistent scratch.
+    left-creation histogram, cross-segment carries in persistent scratch
+    (candidates are heterogeneous and cross-side-free, as in the in-VMEM
+    kernel).
     Writes F over a_in and cand over b_in IN PLACE (aliased by the driver);
     emits acc_l at the last segment. cands_in row: lanes 0..K-1 pa,
     K..2K-1 pb, lane 2K = bsel, lane 2K+1 = zbase."""
